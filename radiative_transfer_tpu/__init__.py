@@ -1,0 +1,30 @@
+"""radiative_transfer_tpu: TPU-native multigroup thermal radiative transfer.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+reference 1-D slab-geometry discrete-ordinates (S_N) radiative-transfer
+miniapp (Helblindi/radiative-transfer), re-designed TPU-first:
+
+* pure-functional state pytrees instead of shared mutable Eigen arrays;
+* batched scan-parallel sweeps (associative scan over cells) instead of
+  sequential per-cell 2x2 solves;
+* multi-chip spatial decomposition via jax.sharding + shard_map with
+  closed-form cross-shard carry composition (no wavefront serialisation);
+* all T-frozen physics tables hoisted to setup.
+
+float64 is enabled at import: the reference is a double-precision code
+and its validation tolerances (1e-6 absolute on O(1) quantities over
+thousands of steps) require it. Performance paths pass explicit float32
+arrays where appropriate.
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from . import constants  # noqa: E402
+from .config.config import Config, load_config  # noqa: E402
+from .models import transport  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = ["Config", "load_config", "constants", "transport", "__version__"]
