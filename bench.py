@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark: cell-angle-group updates/s per chip on the flagship workload.
+
+Workload (BASELINE.md "high-resolution gray slab"): S_32 gray slab,
+N = 2^19 cells, BDF2 — 4 sub-steps per timestep, each a batched
+scan-parallel transport sweep. One "update" is one per-(cell, angle,
+group) 2x2 upwind solve, i.e. 4*M*G*N updates per full BDF2 step
+(matching the reference's innermost-loop trip count, src/solver.cpp:628-811).
+
+`vs_baseline`: the reference publishes no numbers (BASELINE.md), so the
+comparison point is a measured single-core vectorised-NumPy implementation
+of the same sequential sweep on this host — a stand-in for the serial C++
+miniapp (which cannot be built here: no Eigen). Values > 1 mean faster
+than the CPU proxy.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "updates/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def tpu_updates_per_s(M=32, G=1, N=1 << 20, steps=8, dtype="float32"):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from radiative_transfer_tpu.config.config import Config
+    from radiative_transfer_tpu.models import transport
+    from radiative_transfer_tpu.ops.fast_sweep import FastEngine
+
+    cfg = Config(
+        M=M, G=G, N=N, X=1.0,
+        bc_left_indicator=2, bc_right_indicator=1,
+        psi_source=tuple(tuple(4.0931 for _ in range(G)) for _ in range(M)),
+        rho=1.0, kappa_grey=1.0, T=1.0,
+        ts_method=3, dt=1e-5, max_timesteps=steps,
+        include_validation=False,
+    )
+    jdt = jnp.float32 if dtype == "float32" else jnp.float64
+    tables, _, _ = transport.build_tables(cfg, dtype=jdt)
+    eng = FastEngine(cfg, tables, dtype=jdt, chunk=256, unroll=8)
+    state = eng.init_state()
+
+    @jax.jit
+    def run(s):
+        return lax.fori_loop(0, steps, lambda _, x: eng.step(x), s)
+
+    out = jax.block_until_ready(run(state))  # compile + warm-up
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(run(out))
+    dt_s = time.perf_counter() - t0
+    updates = 4 * M * G * N * steps
+    return updates / dt_s
+
+
+def cpu_proxy_updates_per_s(M=32, G=1, N=20000, steps=2):
+    """Sequential-over-cells NumPy sweep, vectorised over (M/2, G) like a
+    good single-core CPU code; BE sub-steps only (same per-cell flop count
+    as the reference integrators to within a small constant)."""
+    C = 299.79245800
+    dx, dt = 1.0 / N, 1e-5
+    rhokap = np.ones(G)
+    B = np.full(G, 4.0931)
+    Mh = M // 2
+    absmu = np.linspace(0.05, 0.95, Mh)[:, None]  # (Mh, 1)
+
+    e = np.full((Mh, G, N, 2), 4.0931)
+    S = 0.5 * C * dt * dx * rhokap[None, :] * B[None, :]
+
+    const_A = 1.0 + C * dt * rhokap[None, :]
+    const_B = C * dt * absmu
+    T0 = 0.5 * (const_A * dx + const_B)
+    q = 0.5 * const_B
+    det = T0 * T0 + q * q
+
+    t0 = time.perf_counter()
+    for _ in range(steps * 4 * 2):  # 4 sub-steps x 2 direction halves
+        carry = np.zeros((Mh, G))
+        for j in range(N):
+            r0 = S + const_B * carry + 0.5 * dx * e[:, :, j, 0]
+            r1 = S + 0.5 * dx * e[:, :, j, 1]
+            x0 = (T0 * r0 - q * r1) / det
+            x1 = (q * r0 + T0 * r1) / det
+            e[:, :, j, 0], e[:, :, j, 1] = x0, x1
+            carry = x1
+    dt_s = time.perf_counter() - t0
+    updates = 4 * M * G * N * steps
+    return updates / dt_s
+
+
+def main():
+    quick = "--quick" in sys.argv
+    n_cells = 1 << 15 if quick else 1 << 19
+    steps = 2 if quick else 8
+    value = tpu_updates_per_s(N=n_cells, steps=steps)
+    base = cpu_proxy_updates_per_s(N=4000 if quick else 20000, steps=1 if quick else 2)
+    print(json.dumps({
+        "metric": "cell_angle_group_updates_per_s_per_chip",
+        "value": value,
+        "unit": "updates/s",
+        "vs_baseline": value / base,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Command-line driver: deck in, CSVs out.
+
+Equivalent of the reference's main() (reference: src/main.cc:60-136): read
+a .prm deck (same grammar, same defaults), echo the input quantities
+(ParameterHandler::display_input_quantities, src/ParameterHandler.cpp:20-96),
+solve, print the per-group balance diagnostic, and write the 8 CSVs the
+reference plot scripts consume.
+
+Usage:
+    python -m radiative_transfer_tpu.cli [deck.prm] [options]
+
+Options:
+    --outdir DIR     output directory for CSVs (default: CWD)
+    --steps K        override max_timesteps
+    --engine E       'general' (float64 scan path, default) or 'fast'
+                     (tiled float32/float64 fused path)
+    --dtype D        float64 (default) or float32
+    --profile        print per-step wall-clock and updates/s
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _echo_inputs(cfg) -> None:
+    """Input echo in the spirit of display_input_quantities
+    (src/ParameterHandler.cpp:20-96)."""
+    print("filename-driven configuration:")
+    rows = [
+        ("M (quadrature order)", cfg.M),
+        ("G (energy groups)", cfg.G),
+        ("N (spatial cells)", cfg.N),
+        ("X (slab thickness, cm)", cfg.X),
+        ("dx", cfg.dx),
+        ("efirst / elast (keV)", f"{cfg.efirst} / {cfg.elast}"),
+        ("bc left/right indicator", f"{cfg.bc_left_indicator} / {cfg.bc_right_indicator}"),
+        ("use_mg_equilib", cfg.use_mg_equilib),
+        ("rho (g/cc)", cfg.rho),
+        ("kappa_grey (cm^2/g)", cfg.kappa_grey),
+        ("T (keV)", cfg.T),
+        ("V (cm/sh)", cfg.V),
+        ("use_correction", cfg.use_correction),
+        ("ts_method (1 BE, 2 CN, 3 BDF2)", cfg.ts_method),
+        ("dt (sh)", cfg.dt),
+        ("max_timesteps", cfg.max_timesteps),
+        ("include_validation", cfg.include_validation),
+        ("group bounds from file", cfg.have_group_bounds),
+        ("group kappa from file", cfg.have_group_absorption_opacities),
+    ]
+    w = max(len(k) for k, _ in rows)
+    for k, v in rows:
+        print(f"  {k:<{w}} : {v}")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="radiative_transfer_tpu",
+        description="TPU-native 1-D multigroup S_N thermal radiative transfer",
+    )
+    ap.add_argument("deck", nargs="?",
+                    default="/root/reference/prm/default.prm",
+                    help=".prm input deck (reference grammar)")
+    ap.add_argument("--outdir", default=".")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--engine", choices=("general", "fast"), default="general")
+    ap.add_argument("--dtype", choices=("float64", "float32"), default="float64")
+    ap.add_argument("--profile", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from . import load_config
+    from .models import transport
+    from .utils import io as io_mod
+
+    if not os.path.exists(args.deck):
+        print(f"deck not found: {args.deck}", file=sys.stderr)
+        return 2
+
+    overrides = {}
+    if args.steps is not None:
+        overrides["max_timesteps"] = args.steps
+    cfg = load_config(args.deck, **overrides)
+    print(f"filename: {args.deck}")
+    _echo_inputs(cfg)
+
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+
+    t0 = time.perf_counter()
+    if args.engine == "fast":
+        from .ops.fast_sweep import FastEngine
+
+        tables, grid, ct = transport.build_tables(cfg, dtype=jnp.float64)
+        if cfg.include_validation:
+            assert transport.validate_tables(cfg, ct), "Invalid Correction Terms"
+        eng = FastEngine(cfg, tables, dtype=dtype)
+        fst = eng.solve()
+        ends = eng.ends(fst)
+        psi = transport.psi_from_ends(ends)
+        result = transport.SolveResult(
+            psi=psi,
+            phi=transport.compute_phi(psi, tables.wt.astype(dtype)),
+            phi_plus=transport.compute_phi_plus(psi, tables.wt.astype(dtype)),
+            F=transport.compute_F(psi, tables.mu.astype(dtype), tables.wt.astype(dtype)),
+            balance=transport.compute_balance(
+                cfg, tables,
+                jnp.asarray(ends, jnp.float64),
+                jnp.asarray(transport.compute_phi(psi, tables.wt.astype(dtype)), jnp.float64),
+            ),
+            left_ends=transport.compute_group_ends(cfg, tables, ends)[0],
+            right_ends=transport.compute_group_ends(cfg, tables, ends)[1],
+            state=None,
+        )
+        e_ave = np.asarray(grid.e_ave)
+    else:
+        result = transport.run_problem(cfg, dtype=dtype)
+        _, grid, _ = transport.build_tables(cfg, dtype=dtype)
+        e_ave = np.asarray(grid.e_ave)
+    wall = time.perf_counter() - t0
+
+    steps = cfg.max_timesteps
+    updates = 4 * cfg.M * cfg.G * cfg.N * steps if cfg.ts_method == 3 else (
+        cfg.M * cfg.G * cfg.N * steps
+    )
+    if args.profile:
+        print(f"wall: {wall:.3f} s for {steps} steps "
+              f"({wall / max(steps, 1) * 1e3:.2f} ms/step, "
+              f"{updates / wall / 1e6:.1f} M updates/s)")
+
+    # Balance diagnostic (printed, not asserted — solver.cpp:275-282).
+    bal = np.asarray(result.balance)
+    print("balance |sinks-sources|/sources per group:")
+    print("  max = %.3e   mean = %.3e" % (bal.max(), bal.mean()))
+
+    x = (np.arange(cfg.N) + 0.5) * cfg.dx
+    paths = io_mod.write_solution_csvs(args.outdir, result, x, e_ave)
+    print(f"wrote {len(paths)} CSVs to {os.path.abspath(args.outdir)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -188,8 +188,9 @@ def load_config(path: str, **overrides) -> Config:
     """Load a reference-format .prm deck (plus aux .txt tables) into a Config."""
     prm = PrmFile(path)
 
-    M = prm.get_int("M", 2)
-    G = prm.get_int("G", 1)
+    # M/G overrides must take effect before psi_source is shaped (M, G).
+    M = overrides.pop("M", None) or prm.get_int("M", 2)
+    G = overrides.pop("G", None) or prm.get_int("G", 1)
     use_mg_equilib = prm.get_bool("use_mg_equilib", False)
 
     psi_source = np.zeros((M, G), dtype=np.float64)

@@ -38,12 +38,69 @@ def _combine(left, right):
     return a_r * a_l, a_r * b_l + b_r
 
 
-def affine_scan(a: jnp.ndarray, b: jnp.ndarray, axis: int = -1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def affine_scan(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    axis: int = -1,
+    chunk: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Inclusive prefix composition of x -> a*x + b along `axis`.
 
     Returns (pref_a, pref_b) with pref_j = f_j ∘ ... ∘ f_0.
+
+    Dispatches to a two-level chunked scan when the axis is long: a pure
+    `lax.associative_scan` unrolls log2(N) combine levels into the graph,
+    which at N ~ 1e6 (and 8 scans per BDF2 step) makes XLA compilation
+    minutes-long and the memory traffic O(N log N). The chunked form keeps
+    compile time O(1) in N and traffic O(N).
     """
-    return lax.associative_scan(_combine, (a, b), axis=axis)
+    if axis not in (-1, a.ndim - 1):
+        return lax.associative_scan(_combine, (a, b), axis=axis)
+    n = a.shape[-1]
+    if n % chunk != 0 or n // chunk < 4:
+        return lax.associative_scan(_combine, (a, b), axis=-1)
+    return _affine_scan_chunked(a, b, chunk)
+
+
+def _affine_scan_chunked(
+    a: jnp.ndarray, b: jnp.ndarray, chunk: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-level scan along the last axis.
+
+    Level 1: `lax.scan` over the in-chunk position (sequential depth
+    `chunk`), vectorised over all N/chunk chunks at once — each step is a
+    full-width VPU op over (batch, N/chunk) elements, and the scan body
+    compiles ONCE regardless of N.
+    Level 2: exclusive associative composition of the N/chunk chunk-total
+    maps (log2(N/chunk) levels over small arrays), then a fused fixup.
+    """
+    batch = a.shape[:-1]
+    n = a.shape[-1]
+    nc = n // chunk
+
+    a2 = jnp.moveaxis(a.reshape(*batch, nc, chunk), -1, 0)  # (chunk, *batch, nc)
+    b2 = jnp.moveaxis(b.reshape(*batch, nc, chunk), -1, 0)
+
+    def body(carry, ab):
+        new = _combine(carry, ab)
+        return new, new
+
+    init = (jnp.ones_like(a2[0]), jnp.zeros_like(b2[0]))
+    (tot_a, tot_b), (pa, pb) = lax.scan(body, init, (a2, b2))
+    # pa/pb: (chunk, *batch, nc) in-chunk inclusive prefixes.
+
+    ca, cb = lax.associative_scan(_combine, (tot_a, tot_b), axis=-1)
+    # Exclusive across chunks: chunk 0 sees the identity map.
+    ex_a = jnp.concatenate([jnp.ones_like(ca[..., :1]), ca[..., :-1]], axis=-1)
+    ex_b = jnp.concatenate([jnp.zeros_like(cb[..., :1]), cb[..., :-1]], axis=-1)
+
+    # Global prefix = (in-chunk prefix) ∘ (exclusive chunk prefix).
+    g_a = pa * ex_a
+    g_b = pa * ex_b + pb
+
+    g_a = jnp.moveaxis(g_a, 0, -1).reshape(*batch, n)
+    g_b = jnp.moveaxis(g_b, 0, -1).reshape(*batch, n)
+    return g_a, g_b
 
 
 def affine_scan_sequential(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

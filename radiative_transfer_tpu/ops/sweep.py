@@ -68,7 +68,18 @@ def build_coeffs(
     ts,                      # sub-step size (dt for BE/CN; dt/2 in BDF2 phases)
     dt_full,                 # FULL dt — the reference bdf() couples with
                              # c*mu*dt/6 using the full dt (solver.cpp:501)
+    prev_fill: Optional[jnp.ndarray] = None,  # (Mh, G) upwind fill for the
+    half_fill: Optional[jnp.ndarray] = None,  # shifted prev/half edges; on a
+                             # single device both equal bc (the carry dict is
+                             # initialised to the boundary value,
+                             # solver.cpp:695-697), but on interior shards of
+                             # a spatial decomposition they are halo values
+                             # DMA'd from the upstream shard.
 ) -> SweepCoeffs:
+    if prev_fill is None:
+        prev_fill = bc
+    if half_fill is None:
+        half_fill = bc
     am = absmu[:, None, None]           # (Mh, 1, 1)
     rk = rhokap[None, :, None]          # (1, G, 1)
 
@@ -86,7 +97,7 @@ def build_coeffs(
         cB = 1.0 + tv
         cC = 1.0 - tv
         T0 = 0.5 * (cB * dx + w)
-        prev_shift = _shift_in(p[..., 1], bc)
+        prev_shift = _shift_in(p[..., 1], prev_fill)
         r0_0 = S + 0.5 * (cC * dx - w) * e[..., 0] - 0.5 * w * e[..., 1] + w * prev_shift
         r0_1 = S + 0.5 * w * e[..., 0] + 0.5 * (cC * dx - w) * e[..., 1]
     elif kind == BDF:
@@ -97,8 +108,8 @@ def build_coeffs(
         cC = 1.0 - 4.0 * tv
         cD = tv
         T0 = 0.5 * (cA * dx + w)
-        half_shift = _shift_in(h[..., 1], bc)
-        prev_shift = _shift_in(p[..., 1], bc)
+        half_shift = _shift_in(h[..., 1], half_fill)
+        prev_shift = _shift_in(p[..., 1], prev_fill)
         r0_0 = (
             S
             + 0.5 * (cC * dx - 4.0 * w) * h[..., 0]
