@@ -1,0 +1,477 @@
+"""Single-pass Pallas sweep kernel — the speed-of-light transport substep.
+
+The XLA fast engine (ops/fast_sweep.py) needs ~12-16 HBM plane-passes per
+sub-step because the scan prefixes, RHS planes and carry arrays all
+materialise. This kernel does ONE pass: each (direction-half, cell-block)
+grid step DMAs its input blocks HBM->VMEM, builds the RHS, runs an
+in-register Hillis-Steele prefix scan over the block (constant per-row
+carry multiplier `a`, see fast_sweep module doc), reconstructs both cell
+edges, and writes them back — the inter-block carry, the upwind history
+tails for the CN/BDF shift terms, and the reflective-boundary coupling all
+live in VMEM scratch that persists across the sequential TPU grid.
+
+Grid order (half, block): Pallas TPU grids execute sequentially with the
+last axis fastest, so all mu<0 blocks run before the mu>0 blocks; at the
+half boundary the carry scratch holds the mu<0 outflow, which IS the
+reflective left-boundary inflow (solver.cpp:679-683) up to the direction
+flip and the fill-folding multiplier s (1 BE / 2 CN / 6 BDF2).
+
+HBM traffic per substep: kind-dependent inputs (BE 2, CN 3, BDF 6 planes)
++ 2 output planes — the roofline minimum.
+
+State layout here is plain sweep-order planes (2, Bh, N) (not the XLA
+engine's chunk-tiled layout): blocks slice the lane axis directly.
+
+float32 only (TPU-native); the float64 paths go through the XLA engines.
+Falls back to interpret mode off-TPU so CPU tests exercise the same code.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config.config import Config
+from . import fast_sweep as fs
+
+BE, CN, BDF = fs.BE, fs.CN, fs.BDF
+
+# Packed per-(half, batch) coefficient plane column indices.
+_W, _T0, _Q, _IDET, _A, _SB, _C1, _C0, _KEE, _KP = range(10)
+_NCOEF = 10
+
+
+def _pack_coeffs(kc: fs.KindCoeffs) -> jnp.ndarray:
+    """KindCoeffs (1, 2, Bh, 1) planes -> (2, Bh, NCOEF) float32."""
+    cols = [kc.w, kc.T0, kc.q, kc.inv_det, kc.a, kc.Sbase, kc.c1, kc.c0,
+            kc.k_ee, kc.k_p]
+    packed = jnp.concatenate([c[0, :, :, :] for c in cols], axis=-1)
+    return packed.astype(jnp.float32)
+
+
+def _hillis_steele(b: jnp.ndarray, a: jnp.ndarray, blk: int) -> jnp.ndarray:
+    """Inclusive prefix of carry_j = a*carry_{j-1} + b_j along axis 1
+    (zero init), constant per-row a. log2(blk) full-width VPU steps."""
+    col = lax.broadcasted_iota(jnp.int32, b.shape, 1)
+    pref = b
+    apow = a
+    d = 1
+    while d < blk:
+        # int32 shift: x64 mode would promote a Python int to i64, which
+        # tpu.dynamic_rotate rejects.
+        rolled = pltpu.roll(pref, jnp.int32(d), axis=1)
+        shifted = jnp.where(col < d, 0.0, rolled)
+        pref = pref + apow * shifted
+        apow = apow * apow
+        d *= 2
+    return pref
+
+
+class _Coef(NamedTuple):
+    w: jnp.ndarray
+    T0: jnp.ndarray
+    q: jnp.ndarray
+    idet: jnp.ndarray
+    a: jnp.ndarray
+    Sb: jnp.ndarray
+    c1: jnp.ndarray
+    c0: jnp.ndarray
+    kee: jnp.ndarray
+    kp: jnp.ndarray
+
+
+def _unpack_coef(coef_ref) -> _Coef:
+    c = coef_ref[0]                            # (Bh, NCOEF)
+    return _Coef(*(c[:, k:k + 1] for k in range(_NCOEF)))
+
+
+def _substep_block(kind, kc: _Coef, col, blk,
+                   e0, e1, p0, p1, h0, h1,
+                   carry_ref, ptail, htail):
+    """One sub-step on one VMEM-resident block: RHS build, in-block scan,
+    2x2 reconstruct. Reads/updates the inter-block carry scratch; `ptail`/
+    `htail` are the previous block's upwind p1/h1 edge VALUES (not refs).
+    Returns (new_e0, new_e1, carry-independent b total unused)."""
+
+    def shift1(x, tail):
+        rolled = pltpu.roll(x, jnp.int32(1), axis=1)
+        return jnp.where(col < 1, tail, rolled)
+
+    psi = 0.5 * (e0 + e1)
+    S = kc.Sb + kc.c1 * psi + kc.c0
+
+    if kind == BE:
+        r0 = S + kc.kee * e0
+        r1 = S + kc.kee * e1
+    elif kind == CN:
+        r0 = S + kc.kee * e0 - kc.q * e1 + kc.w * shift1(p1, ptail)
+        r1 = S + kc.q * e0 + kc.kee * e1
+    else:  # BDF
+        r0 = (
+            S + kc.kee * h0 - 2.0 * kc.w * h1 - kc.kp * p0 - kc.q * p1
+            + kc.w * (4.0 * shift1(h1, htail) + shift1(p1, ptail))
+        )
+        r1 = S + 2.0 * kc.w * h0 + kc.kee * h1 + kc.q * p0 - kc.kp * p1
+
+    b = (kc.q * r0 + kc.T0 * r1) * kc.idet
+
+    c_in0 = carry_ref[:]
+    b_adj = jnp.where(col < 1, b + kc.a * c_in0, b)
+    pref = _hillis_steele(b_adj, kc.a, blk)
+    carry_ref[:] = pref[:, -1:]
+
+    rolled = pltpu.roll(pref, jnp.int32(1), axis=1)
+    carry_in = jnp.where(col < 1, c_in0, rolled)
+
+    u = r0 + kc.w * carry_in
+    o0 = (kc.T0 * u - kc.q * r1) * kc.idet
+    o1 = (kc.q * u + kc.T0 * r1) * kc.idet
+    return o0, o1
+
+
+def _make_kernel(kind: int, *, Bh: int, blk: int, Mh: int, G: int,
+                 reflective: bool, s: float):
+    """Kernel factory, specialised per sub-step kind."""
+
+    def kernel(coef_ref, bc_ref, perm_ref, *refs):
+        if kind == BDF:
+            e0r, e1r, p0r, p1r, h0r, h1r, o0r, o1r, carry, ptail, htail = refs
+        elif kind == CN:
+            e0r, e1r, p1r, o0r, o1r, carry, ptail, htail = refs
+        else:
+            e0r, e1r, o0r, o1r, carry, ptail, htail = refs
+
+        h = pl.program_id(0)
+        i = pl.program_id(1)
+        kc = _unpack_coef(coef_ref)
+
+        # --- inflow / scratch management at the start of each half -------
+        @pl.when(jnp.logical_and(h == 0, i == 0))
+        def _():
+            carry[:] = s * bc_ref[0]
+            ptail[:] = jnp.zeros_like(ptail)
+            htail[:] = jnp.zeros_like(htail)
+
+        @pl.when(jnp.logical_and(h == 1, i == 0))
+        def _():
+            if reflective:
+                # mu>0 inflow = flipped-direction mu<0 outflow, which the
+                # carry scratch holds after the last h==0 block. The flip
+                # m -> Mh-1-m is a (Bh x Bh) permutation matmul (Mosaic
+                # has no rev primitive).
+                carry[:] = s * jnp.dot(
+                    perm_ref[:], carry[:], preferred_element_type=jnp.float32
+                )
+            else:
+                carry[:] = s * bc_ref[0]
+            ptail[:] = jnp.zeros_like(ptail)
+            htail[:] = jnp.zeros_like(htail)
+
+        col = lax.broadcasted_iota(jnp.int32, (Bh, blk), 1)
+        e0, e1 = e0r[0], e1r[0]
+        if kind == BDF:
+            p0, p1, h0, h1 = p0r[0], p1r[0], h0r[0], h1r[0]
+        elif kind == CN:
+            p0, p1, h0, h1 = e0, p1r[0], e0, e1   # p0/h unused by CN
+        else:
+            p0, p1, h0, h1 = e0, e1, e0, e1       # unused by BE
+
+        o0, o1 = _substep_block(kind, kc, col, blk,
+                                e0, e1, p0, p1, h0, h1,
+                                carry, ptail[:], htail[:])
+        if kind in (CN, BDF):
+            ptail[:] = p1[:, -1:]
+        if kind == BDF:
+            htail[:] = h1[:, -1:]
+        o0r[0], o1r[0] = o0, o1
+
+    return kernel
+
+
+def _make_bdf2_kernel(*, Bh: int, blk: int, Mh: int, G: int,
+                      reflective: bool, s_be: float, s_cn: float,
+                      s_bdf: float):
+    """ONE kernel for the whole BDF2 4-phase timestep.
+
+    The four sub-steps couple only (a) cell-locally within a block, (b)
+    through per-kind carries in sweep order, and (c) through the
+    reflective half-boundary — all expressible with per-kind VMEM carry
+    scratches over the same sequential (half, block) grid. half_ends never
+    crosses step boundaries in the reference BDF2 cycle (it is snapshotted
+    at phase 1 and consumed at phase 3, solver.cpp:733, 493-587), so the
+    intermediate BE/CN/BE planes never touch HBM: per full timestep this
+    kernel reads 2 planes (ends, which double as the committed prev_ends)
+    and writes 4 (new ends + the half snapshot, kept for state parity) —
+    versus ~21 plane-passes for 4 separate substep launches.
+    """
+
+    def kernel(cbe_ref, ccn_ref, cbdf_ref, bc_ref, perm_ref,
+               e0r, e1r, o0r, o1r, oh0r, oh1r,
+               cbe1, ccn, cbe2, cbdf, etail, htail):
+        h = pl.program_id(0)
+        i = pl.program_id(1)
+        kbe = _unpack_coef(cbe_ref)
+        kcn = _unpack_coef(ccn_ref)
+        kbdf = _unpack_coef(cbdf_ref)
+
+        carries = ((cbe1, s_be), (ccn, s_cn), (cbe2, s_be), (cbdf, s_bdf))
+
+        @pl.when(jnp.logical_and(h == 0, i == 0))
+        def _():
+            for cs, sk in carries:
+                cs[:] = sk * bc_ref[0]
+            etail[:] = jnp.zeros_like(etail)
+            htail[:] = jnp.zeros_like(htail)
+
+        @pl.when(jnp.logical_and(h == 1, i == 0))
+        def _():
+            for cs, sk in carries:
+                if reflective:
+                    cs[:] = sk * jnp.dot(
+                        perm_ref[:], cs[:], preferred_element_type=jnp.float32
+                    )
+                else:
+                    cs[:] = sk * bc_ref[0]
+            etail[:] = jnp.zeros_like(etail)
+            htail[:] = jnp.zeros_like(htail)
+
+        col = lax.broadcasted_iota(jnp.int32, (Bh, blk), 1)
+        e0, e1 = e0r[0], e1r[0]
+        et_prev = etail[:]
+        ht_prev = htail[:]
+        zt = jnp.zeros_like(et_prev)
+
+        # Phase 0: BE(dt/2) predictor.
+        b0, b1 = _substep_block(BE, kbe, col, blk,
+                                e0, e1, e0, e1, e0, e1, cbe1, zt, zt)
+        # Phase 1: CN(dt/2) corrector -> half snapshot.
+        hc0, hc1 = _substep_block(CN, kcn, col, blk,
+                                  b0, b1, e0, e1, e0, e1, ccn, et_prev, zt)
+        # Phase 2: second BE(dt/2) predictor.
+        d0, d1 = _substep_block(BE, kbe, col, blk,
+                                hc0, hc1, e0, e1, hc0, hc1, cbe2, zt, zt)
+        # Phase 3: BDF2 corrector (prev = input ends, half = CN output).
+        f0, f1 = _substep_block(BDF, kbdf, col, blk,
+                                d0, d1, e0, e1, hc0, hc1, cbdf,
+                                et_prev, ht_prev)
+
+        o0r[0], o1r[0] = f0, f1
+        oh0r[0], oh1r[0] = hc0, hc1
+        etail[:] = e1[:, -1:]
+        htail[:] = hc1[:, -1:]
+
+    return kernel
+
+
+class PallasEngine:
+    """Drop-in fused solver using the single-pass Pallas sweep kernel.
+
+    State: plain sweep-order planes (2, Bh, N) float32 (mu<0 half stored
+    N-reversed / edge-swapped, as in fast_sweep).
+    """
+
+    def __init__(self, cfg: Config, tables, block: int = 2048,
+                 interpret: Optional[bool] = None):
+        self.cfg = cfg
+        self.tables = tables
+        Mh, G = cfg.M // 2, cfg.G
+        self.Mh, self.G = Mh, G
+        self.Bh = Mh * G
+        self.block = block
+        while cfg.N % self.block != 0 or (self.block & (self.block - 1)):
+            self.block //= 2
+            if self.block == 0:
+                raise ValueError(f"N={cfg.N} has no power-of-two block")
+        self.nblocks = cfg.N // self.block
+        if interpret is None:
+            # Mosaic-compile on any real TPU backend (including tunnelled
+            # platforms whose backend name is not literally "tpu");
+            # interpret elsewhere (CPU tests).
+            interpret = jax.devices()[0].platform == "cpu"
+        self.interpret = interpret
+
+        # Reuse the XLA fast engine for coefficients, BCs and layout maps.
+        self._fe = fs.FastEngine(cfg, tables, dtype=jnp.float32, chunk=self.block)
+        self.reflective = self._fe.bc_pos_fixed is None
+        psrc = np.asarray(tables.psi_source, dtype=np.float64)
+        bc_neg = np.asarray(self._fe.bc_neg, dtype=np.float32)
+        if self.reflective:
+            bc_pos = np.zeros(self.Bh, dtype=np.float32)  # unused
+        else:
+            bc_pos = np.asarray(self._fe.bc_pos_fixed, dtype=np.float32)
+        self.bc = jnp.asarray(
+            np.stack([bc_neg, bc_pos])[..., None], dtype=jnp.float32
+        )  # (2, Bh, 1)
+
+        flip = fs._refl_flip_indices(Mh, G)
+        P = np.zeros((self.Bh, self.Bh), dtype=np.float32)
+        P[np.arange(self.Bh), flip] = 1.0
+        self.refl_P = jnp.asarray(P)
+
+        self.coef = {
+            kind: _pack_coeffs(kc) for kind, kc in self._fe.kcs.items()
+        }
+        self._calls = {kind: self._build_call(kind) for kind in self.coef}
+        self._bdf2_call = (
+            self._build_bdf2_call() if cfg.ts_method == 3 else None
+        )
+
+    # -- pallas call builder --------------------------------------------------
+
+    def _build_call(self, kind: int):
+        Bh, blk, nb = self.Bh, self.block, self.nblocks
+        N = self.cfg.N
+        kc = self._fe.kcs[kind]
+
+        n_in = {BE: 2, CN: 3, BDF: 6}[kind]
+        # Index maps derive every constant from the traced grid indices:
+        # under jax_enable_x64 a literal 0 traces as i64, which Mosaic's
+        # index-map signature (i32) rejects.
+        plane_spec = pl.BlockSpec(
+            (1, Bh, blk), lambda h, i: (h, h * 0, i), memory_space=pltpu.VMEM
+        )
+        coef_spec = pl.BlockSpec(
+            (1, Bh, _NCOEF), lambda h, i: (h, h * 0, h * 0),
+            memory_space=pltpu.VMEM,
+        )
+        bc_spec = pl.BlockSpec(
+            (1, Bh, 1), lambda h, i: (h, h * 0, h * 0), memory_space=pltpu.VMEM
+        )
+        perm_spec = pl.BlockSpec(
+            (Bh, Bh), lambda h, i: (h * 0, h * 0), memory_space=pltpu.VMEM
+        )
+
+        kernel = _make_kernel(
+            kind, Bh=Bh, blk=blk, Mh=self.Mh, G=self.G,
+            reflective=self.reflective, s=float(kc.s),
+        )
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(2, nb),
+            in_specs=[coef_spec, bc_spec, perm_spec] + [plane_spec] * n_in,
+            out_specs=(plane_spec, plane_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((2, Bh, N), jnp.float32),
+                jax.ShapeDtypeStruct((2, Bh, N), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((Bh, 1), jnp.float32),   # carry
+                pltpu.VMEM((Bh, 1), jnp.float32),   # prev tail
+                pltpu.VMEM((Bh, 1), jnp.float32),   # half tail
+            ],
+            interpret=self.interpret,
+        )
+        return call
+
+    def _build_bdf2_call(self):
+        Bh, blk, nb = self.Bh, self.block, self.nblocks
+        N = self.cfg.N
+
+        plane_spec = pl.BlockSpec(
+            (1, Bh, blk), lambda h, i: (h, h * 0, i), memory_space=pltpu.VMEM
+        )
+        coef_spec = pl.BlockSpec(
+            (1, Bh, _NCOEF), lambda h, i: (h, h * 0, h * 0),
+            memory_space=pltpu.VMEM,
+        )
+        bc_spec = pl.BlockSpec(
+            (1, Bh, 1), lambda h, i: (h, h * 0, h * 0), memory_space=pltpu.VMEM
+        )
+        perm_spec = pl.BlockSpec(
+            (Bh, Bh), lambda h, i: (h * 0, h * 0), memory_space=pltpu.VMEM
+        )
+
+        kernel = _make_bdf2_kernel(
+            Bh=Bh, blk=blk, Mh=self.Mh, G=self.G,
+            reflective=self.reflective,
+            s_be=float(self._fe.kcs[BE].s),
+            s_cn=float(self._fe.kcs[CN].s),
+            s_bdf=float(self._fe.kcs[BDF].s),
+        )
+
+        plane = jax.ShapeDtypeStruct((2, Bh, N), jnp.float32)
+        return pl.pallas_call(
+            kernel,
+            grid=(2, nb),
+            in_specs=[coef_spec, coef_spec, coef_spec, bc_spec, perm_spec,
+                      plane_spec, plane_spec],
+            out_specs=(plane_spec,) * 4,
+            out_shape=(plane, plane, plane, plane),
+            scratch_shapes=[pltpu.VMEM((Bh, 1), jnp.float32)] * 6,
+            interpret=self.interpret,
+        )
+
+    # -- stepping ---------------------------------------------------------------
+
+    def substep(self, kind: int, st) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        coef, bc = self.coef[kind], self.bc
+        if kind == BDF:
+            ins = (st.e0, st.e1, st.p0, st.p1, st.h0, st.h1)
+        elif kind == CN:
+            ins = (st.e0, st.e1, st.p1)
+        else:
+            ins = (st.e0, st.e1)
+        return self._calls[kind](coef, bc, self.refl_P, *ins)
+
+    def step(self, st: fs.FlatState) -> fs.FlatState:
+        cfg = self.cfg
+        if cfg.ts_method == 1:
+            ne0, ne1 = self.substep(BE, st)
+            return fs.FlatState(ne0, ne1, st.e0, st.e1, st.h0, st.h1)
+        if cfg.ts_method == 2:
+            st1 = fs.FlatState(st.e0, st.e1, st.e0, st.e1, st.h0, st.h1)
+            ne0, ne1 = self.substep(CN, st1)
+            return fs.FlatState(ne0, ne1, st.e0, st.e1, st.h0, st.h1)
+        # BDF2: the whole 4-phase cycle in one fused kernel launch.
+        ne0, ne1, nh0, nh1 = self._bdf2_call(
+            self.coef[BE], self.coef[CN], self.coef[BDF],
+            self.bc, self.refl_P, st.e0, st.e1,
+        )
+        return fs.FlatState(ne0, ne1, st.e0, st.e1, nh0, nh1)
+
+    # -- layout: planes are flat (2, Bh, N); reuse FastEngine converters ---------
+
+    def init_state(self) -> fs.FlatState:
+        cfg = self.cfg
+        Bg = jnp.asarray(
+            np.broadcast_to(
+                np.asarray(self.tables.B, dtype=np.float64)[None, :],
+                (cfg.M // 2, cfg.G),
+            ).reshape(self.Bh),
+            dtype=jnp.float32,
+        )
+        plane = jnp.asarray(
+            jnp.broadcast_to(Bg[None, :, None], (2, self.Bh, cfg.N))
+        )
+        return fs.FlatState(plane, plane, plane, plane, plane, plane)
+
+    def from_ends(self, ends, prev, half) -> fs.FlatState:
+        t = self._fe.from_ends(ends, prev, half)
+        u = self._fe.untile
+        return fs.FlatState(u(t.e0), u(t.e1), u(t.p0), u(t.p1), u(t.h0), u(t.h1))
+
+    def ends_pair(self, x0, x1) -> jnp.ndarray:
+        return self._fe.ends_pair(self._fe.tile(x0), self._fe.tile(x1))
+
+    def ends(self, st: fs.FlatState) -> jnp.ndarray:
+        return self.ends_pair(st.e0, st.e1)
+
+    def solve(self, state: Optional[fs.FlatState] = None,
+              num_steps: Optional[int] = None) -> fs.FlatState:
+        n = self.cfg.max_timesteps if num_steps is None else num_steps
+        if state is None:
+            state = self.init_state()
+
+        @jax.jit
+        def run(st):
+            return lax.fori_loop(0, n, lambda _, s: self.step(s), st)
+
+        return run(state)

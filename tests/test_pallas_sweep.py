@@ -1,0 +1,79 @@
+"""Pallas single-pass sweep kernels == XLA fast engine (interpret mode).
+
+Runs the Mosaic kernels through the Pallas interpreter on CPU, comparing
+against the XLA fast engine at the same float32 precision. Error metric is
+normalised by the per-array magnitude: the LLNL deck's optically-thick
+groups produce values spanning ~10 orders of magnitude and the engines'
+different reduction orders differ at f32 roundoff on the tiny entries
+(both are equally far from the float64 truth).
+"""
+
+import conftest  # noqa: F401
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radiative_transfer_tpu import load_config
+from radiative_transfer_tpu.models import transport
+from radiative_transfer_tpu.ops import fast_sweep, pallas_sweep
+
+
+def _relerr(got, ref):
+    scale = np.max(np.abs(ref)) + 1e-300
+    return np.max(np.abs(got - ref)) / scale
+
+
+def _compare(cfg, num_steps, block=16, tol=1e-5):
+    tables, _, _ = transport.build_tables(cfg)
+    eng, fst = fast_sweep.solve_fast(
+        cfg, tables, num_steps=num_steps, dtype=jnp.float32, chunk=block
+    )
+    peng = pallas_sweep.PallasEngine(cfg, tables, block=block)
+    pst = peng.solve(num_steps=num_steps)
+    assert peng.interpret, "tests must run the interpreter (CPU)"
+    assert _relerr(np.asarray(peng.ends(pst)), np.asarray(eng.ends(fst))) < tol
+    assert _relerr(
+        np.asarray(peng.ends_pair(pst.p0, pst.p1)),
+        np.asarray(eng.ends_pair(fst.p0, fst.p1)),
+    ) < tol
+    if cfg.ts_method == 3:
+        assert _relerr(
+            np.asarray(peng.ends_pair(pst.h0, pst.h1)),
+            np.asarray(eng.ends_pair(fst.h0, fst.h1)),
+        ) < tol
+
+
+@pytest.mark.parametrize("ts_method", [1, 2, 3])
+def test_gray_deck(ts_method):
+    cfg = load_config(
+        conftest.reference_deck("single_group.prm"),
+        N=64, ts_method=ts_method, max_timesteps=3,
+    )
+    _compare(cfg, 3)
+
+
+def test_multigroup_correction_deck():
+    cfg = load_config(
+        conftest.reference_deck("multi_group_equilibrium.prm"),
+        N=64, max_timesteps=3,
+    )
+    _compare(cfg, 3)
+
+
+def test_llnl_deck():
+    cfg = load_config(
+        conftest.reference_deck("llnl_slab_test.prm"), N=32, max_timesteps=2
+    )
+    _compare(cfg, 2)
+
+
+@pytest.mark.parametrize("bc_left,bc_right", [(0, 0), (1, 1), (2, 0), (2, 1)])
+def test_bc_combinations(bc_left, bc_right):
+    cfg = load_config(
+        conftest.reference_deck("single_group.prm"),
+        M=8, N=64, ts_method=3, max_timesteps=2,
+        bc_left_indicator=bc_left, bc_right_indicator=bc_right,
+        psi_source=tuple((float(i + 1),) for i in range(8)),
+    )
+    _compare(cfg, 2)
