@@ -63,8 +63,11 @@ def main(argv=None) -> int:
         prog="radiative_transfer_tpu",
         description="TPU-native 1-D multigroup S_N thermal radiative transfer",
     )
-    ap.add_argument("deck", nargs="?",
-                    default="/root/reference/prm/default.prm",
+    default_deck = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "prm", "default.prm",
+    )
+    ap.add_argument("deck", nargs="?", default=default_deck,
                     help=".prm input deck (reference grammar)")
     ap.add_argument("--outdir", default=".")
     ap.add_argument("--steps", type=int, default=None)
