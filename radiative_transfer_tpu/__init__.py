@@ -17,9 +17,16 @@ thousands of steps) require it. Performance paths pass explicit float32
 arrays where appropriate.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Honor JAX_PLATFORMS even when a site hook imported jax (and registered
+# an accelerator platform) before the env var could take effect.
+if _os.environ.get("JAX_PLATFORMS"):
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
 
 from . import constants  # noqa: E402
 from .config.config import Config, load_config  # noqa: E402

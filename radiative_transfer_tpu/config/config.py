@@ -35,9 +35,15 @@ _TRUE_VALUES = ("yes", "Yes", "true", "True")
 class PrmFile:
     """A parsed key=value .prm file with C++-faithful typed getters."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, prefer_native: bool = True):
         self.path = path
         self.params: dict[str, str] = {}
+        if prefer_native:
+            from .. import native
+
+            if native.available():
+                self.params = native.parse_deck_dict(path)
+                return
         with open(path, "r") as fh:
             for line in fh:
                 line = line.rstrip("\n").rstrip("\r")
@@ -75,8 +81,13 @@ class PrmFile:
         return self.params.get(key, default)
 
 
-def _read_table(path: str) -> np.ndarray:
+def _read_table(path: str, prefer_native: bool = True) -> np.ndarray:
     """Whitespace-separated stream of doubles (group bounds / kappa files)."""
+    if prefer_native:
+        from .. import native
+
+        if native.available():
+            return native.read_table(path)
     values = []
     with open(path, "r") as fh:
         for tok in fh.read().split():

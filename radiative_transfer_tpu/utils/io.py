@@ -19,8 +19,20 @@ import numpy as np
 FMT = "%.17g"
 
 
+def _native():
+    """The C++ writer backend when built (native/rtio.cc, byte-identical
+    output), else None. The big psi dumps are ~20x faster native."""
+    from .. import native
+
+    return native if native.available() else None
+
+
 def write_vector(path: str, v) -> None:
     """One value per line (Eigen VectorXd print)."""
+    nat = _native()
+    if nat is not None:
+        nat.write_vector(path, v)
+        return
     v = np.asarray(v).reshape(-1)
     with open(path, "w") as fh:
         for val in v:
@@ -29,6 +41,10 @@ def write_vector(path: str, v) -> None:
 
 def write_matrix(path: str, m) -> None:
     """Whitespace-separated rows (Eigen MatrixXd print)."""
+    nat = _native()
+    if nat is not None:
+        nat.write_matrix(path, m)
+        return
     m = np.atleast_2d(np.asarray(m))
     with open(path, "w") as fh:
         for row in m:
@@ -39,6 +55,10 @@ def write_psi(path: str, psi) -> None:
     """(M, G, N) -> M rows with columns ordered n*G + g (column-major
     Eigen Tensor print, see module doc)."""
     psi = np.asarray(psi)
+    nat = _native()
+    if nat is not None:
+        nat.write_psi(path, psi)
+        return
     M, G, N = psi.shape
     rows = psi.transpose(0, 2, 1).reshape(M, N * G)
     write_matrix(path, rows)
