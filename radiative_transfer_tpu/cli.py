@@ -74,6 +74,13 @@ def main(argv=None) -> int:
     ap.add_argument("--engine", choices=("general", "fast"), default="general")
     ap.add_argument("--dtype", choices=("float64", "float32"), default="float64")
     ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="write .npz checkpoints here and resume from the "
+                         "newest one (exact restart)")
+    ap.add_argument("--checkpoint-every", type=int, default=100,
+                    help="full timesteps between checkpoints")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="ignore existing checkpoints in --checkpoint-dir")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -119,6 +126,30 @@ def main(argv=None) -> int:
             left_ends=transport.compute_group_ends(cfg, tables, ends)[0],
             right_ends=transport.compute_group_ends(cfg, tables, ends)[1],
             state=None,
+        )
+        e_ave = np.asarray(grid.e_ave)
+    elif args.checkpoint_dir:
+        from .utils import checkpoint as ckpt_mod
+
+        tables, grid, ct = transport.build_tables(cfg, dtype=dtype)
+        if cfg.include_validation:
+            assert transport.validate_tables(cfg, ct), "Invalid Correction Terms"
+        state = transport.initial_state(cfg, tables, dtype=dtype)
+        state, resumed = ckpt_mod.solve_with_checkpoints(
+            cfg, tables, state, args.checkpoint_dir,
+            every=args.checkpoint_every, resume=not args.no_resume,
+        )
+        if resumed:
+            print(f"resumed from step {resumed}")
+        psi = transport.psi_from_ends(state.ends)
+        phi = transport.compute_phi(psi, tables.wt)
+        le, re_ = transport.compute_group_ends(cfg, tables, state.ends)
+        result = transport.SolveResult(
+            psi=psi, phi=phi,
+            phi_plus=transport.compute_phi_plus(psi, tables.wt),
+            F=transport.compute_F(psi, tables.mu, tables.wt),
+            balance=transport.compute_balance(cfg, tables, state.ends, phi),
+            left_ends=le, right_ends=re_, state=state,
         )
         e_ave = np.asarray(grid.e_ave)
     else:

@@ -1,0 +1,145 @@
+"""Checkpoint / resume for the transport solve.
+
+The reference has no checkpointing — only end-of-run CSV dumps
+(reference: src/main.cc:117-133); a long multigroup run that dies must
+restart from t=0. Here the full step state pytree {ends, prev_ends,
+half_ends} plus the step index is periodically written as a compressed
+.npz (bit-exact float64 round-trip), so any run can resume exactly.
+
+Exactness across the BDF2 sub-cycle: the framework's step function runs
+all 4 BDF2 phases (BE/CN/BE/BDF of dt/2) atomically inside one
+full-timestep transition (models/transport.py make_step_fn), so a
+checkpoint at a full-step boundary captures the complete integrator
+history — no separate `_it % 4` phase needs saving (the reference's
+sub-step counter, src/solver.cpp:620-625, is internal to our step).
+
+A config fingerprint (every field that affects the trajectory) is stored
+and verified on load; resuming with a different problem is an error.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+import re
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..config.config import Config
+from ..models.transport import State
+
+_CKPT_RE = re.compile(r"ckpt_(\d{9})\.npz$")
+
+# Fields excluded from the trajectory fingerprint: they do not change the
+# step function (max_timesteps is a stopping criterion; validation is a
+# setup-time assert).
+_NON_TRAJECTORY_FIELDS = ("max_timesteps", "include_validation")
+
+
+def config_fingerprint(cfg: Config) -> str:
+    d = dataclasses.asdict(cfg)
+    for k in _NON_TRAJECTORY_FIELDS:
+        d.pop(k, None)
+    return json.dumps(d, sort_keys=True)
+
+
+def checkpoint_path(ckpt_dir: str, step: int) -> str:
+    return os.path.join(ckpt_dir, f"ckpt_{step:09d}.npz")
+
+
+def save_checkpoint(ckpt_dir: str, state: State, step: int, cfg: Config) -> str:
+    """Write the state at full-step `step`. Atomic (write + rename)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = checkpoint_path(ckpt_dir, step)
+    tmp = path + ".tmp"
+    host = jax.device_get(state)
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(
+            fh,
+            ends=np.asarray(host.ends),
+            prev_ends=np.asarray(host.prev_ends),
+            half_ends=np.asarray(host.half_ends),
+            step=np.int64(step),
+            fingerprint=np.frombuffer(
+                config_fingerprint(cfg).encode(), dtype=np.uint8
+            ),
+        )
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str, cfg: Optional[Config] = None) -> Tuple[State, int]:
+    """Load (state, step). If `cfg` is given, the stored fingerprint must
+    match, guarding against resuming a different problem."""
+    with np.load(path) as z:
+        if cfg is not None:
+            stored = bytes(z["fingerprint"]).decode()
+            want = config_fingerprint(cfg)
+            if stored != want:
+                raise ValueError(
+                    f"checkpoint {path} was written for a different problem:\n"
+                    f"  stored : {stored}\n  current: {want}"
+                )
+        state = State(
+            ends=z["ends"], prev_ends=z["prev_ends"], half_ends=z["half_ends"]
+        )
+        step = int(z["step"])
+    return state, step
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Path of the highest-step checkpoint in `ckpt_dir`, or None."""
+    best, best_step = None, -1
+    for p in glob.glob(os.path.join(ckpt_dir, "ckpt_*.npz")):
+        m = _CKPT_RE.search(p)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = p, int(m.group(1))
+    return best
+
+
+def solve_with_checkpoints(
+    cfg: Config,
+    tables,
+    state: State,
+    ckpt_dir: str,
+    every: int,
+    resume: bool = True,
+    num_steps: Optional[int] = None,
+) -> Tuple[State, int]:
+    """Run the solve in chunks of `every` steps, checkpointing after each
+    chunk; on entry, resume from the newest valid checkpoint if present.
+
+    Returns (final_state, start_step_resumed_from). The trajectory is
+    bit-identical to an uninterrupted `transport.solve` because chunking a
+    fori_loop at full-step boundaries does not change any computation.
+    """
+    import functools
+
+    from jax import lax
+
+    from ..models import transport
+
+    total = cfg.max_timesteps if num_steps is None else num_steps
+    start = 0
+    if resume:
+        latest = latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            state, start = load_checkpoint(latest, cfg)
+
+    step = transport.make_step_fn(cfg, tables)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run_chunk(s: State, n: int) -> State:
+        return lax.fori_loop(0, n, lambda _, x: step(x), s)
+
+    done = start
+    while done < total:
+        n = min(every, total - done)
+        state = run_chunk(state, n)  # compiles once per distinct n
+        done += n
+        save_checkpoint(ckpt_dir, state, done, cfg)
+    return state, start

@@ -1,0 +1,87 @@
+"""Checkpoint/resume: exact restart mid-run, fingerprint guard, CLI."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import reference_deck
+
+from radiative_transfer_tpu.config.config import load_config
+from radiative_transfer_tpu.models import transport
+from radiative_transfer_tpu.utils import checkpoint as ck
+
+
+def _setup(deck="single_group.prm", **over):
+    cfg = load_config(reference_deck(deck), **over)
+    tables, _, _ = transport.build_tables(cfg)
+    state = transport.initial_state(cfg, tables)
+    return cfg, tables, state
+
+
+def test_save_load_roundtrip_bitexact(tmp_path):
+    cfg, tables, state = _setup(max_timesteps=3)
+    state = transport.solve(cfg, tables, state, num_steps=3)
+    path = ck.save_checkpoint(str(tmp_path), state, 3, cfg)
+    loaded, step = ck.load_checkpoint(path, cfg)
+    assert step == 3
+    for a, b in zip(state, loaded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    """4 steps + crash + resume for 6 == 10 straight, bitwise, including
+    across BDF2 sub-cycle history (prev/half ends)."""
+    cfg, tables, state0 = _setup(max_timesteps=10)
+    straight = transport.solve(cfg, tables, state0, num_steps=10)
+
+    # first process: checkpoint every 2, dies after 4 steps
+    ck.solve_with_checkpoints(
+        cfg, tables, state0, str(tmp_path), every=2, num_steps=4
+    )
+    assert ck.latest_checkpoint(str(tmp_path)).endswith("ckpt_000000004.npz")
+
+    # second process: resumes and finishes
+    final, resumed_from = ck.solve_with_checkpoints(
+        cfg, tables, state0, str(tmp_path), every=3, num_steps=10
+    )
+    assert resumed_from == 4
+    for a, b in zip(straight, final):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fingerprint_guard(tmp_path):
+    cfg, tables, state = _setup(max_timesteps=2)
+    path = ck.save_checkpoint(str(tmp_path), state, 2, cfg)
+    # stopping criterion changes are allowed
+    ck.load_checkpoint(path, cfg.replace(max_timesteps=50))
+    # physics changes are not
+    with pytest.raises(ValueError, match="different problem"):
+        ck.load_checkpoint(path, cfg.replace(kappa_grey=2.0))
+
+
+def test_latest_checkpoint_ordering(tmp_path):
+    cfg, tables, state = _setup(max_timesteps=1)
+    for s in (1, 10, 2):
+        ck.save_checkpoint(str(tmp_path), state, s, cfg)
+    assert ck.latest_checkpoint(str(tmp_path)).endswith("ckpt_000000010.npz")
+    assert ck.latest_checkpoint(str(tmp_path / "empty")) is None
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    from radiative_transfer_tpu import cli
+
+    deck = reference_deck("single_group.prm")
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    ckdir = str(tmp_path / "ck")
+    # full run in one go
+    assert cli.main([deck, "--steps", "6", "--outdir", out1]) == 0
+    # interrupted run: 3 steps, then finish via resume
+    assert cli.main([deck, "--steps", "3", "--outdir", str(tmp_path / "x"),
+                     "--checkpoint-dir", ckdir, "--checkpoint-every", "3"]) == 0
+    assert cli.main([deck, "--steps", "6", "--outdir", out2,
+                     "--checkpoint-dir", ckdir, "--checkpoint-every", "3"]) == 0
+    for name in ("phi.csv", "psi.csv", "F.csv"):
+        with open(os.path.join(out1, name), "rb") as f1, \
+             open(os.path.join(out2, name), "rb") as f2:
+            assert f1.read() == f2.read(), name
