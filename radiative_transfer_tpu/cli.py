@@ -81,6 +81,12 @@ def main(argv=None) -> int:
                     help="full timesteps between checkpoints")
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore existing checkpoints in --checkpoint-dir")
+    ap.add_argument("--print-tables", action="store_true",
+                    help="print every physics table (quadrature, groups, "
+                         "Planck integrals, correction components) and "
+                         "write them as CSVs to --outdir")
+    ap.add_argument("--trace", default=None, metavar="LOGDIR",
+                    help="write a jax.profiler device trace to LOGDIR")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -102,7 +108,48 @@ def main(argv=None) -> int:
 
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
 
+    if args.print_tables:
+        from .utils import diagnostics
+
+        tbls, grid_, ct_ = transport.build_tables(cfg, dtype=jnp.float64)
+        print(diagnostics.full_report(cfg, tbls, grid_, ct_))
+        for p in diagnostics.write_tables_csv(args.outdir, cfg, tbls, grid_, ct_):
+            print(f"wrote {p}")
+
+    from .utils.profiling import trace as profiler_trace
+
     t0 = time.perf_counter()
+    with profiler_trace(args.trace):
+        result, e_ave = _run(args, cfg, dtype)
+    wall = time.perf_counter() - t0
+
+    steps = cfg.max_timesteps
+    from .utils.profiling import updates_per_step
+
+    if args.profile:
+        ups = updates_per_step(cfg) * steps
+        print(f"wall: {wall:.3f} s for {steps} steps "
+              f"({wall / max(steps, 1) * 1e3:.2f} ms/step, "
+              f"{ups / wall / 1e6:.1f} M updates/s)")
+
+    # Balance diagnostic (printed, not asserted — solver.cpp:275-282).
+    bal = np.asarray(result.balance)
+    print("balance |sinks-sources|/sources per group:")
+    print("  max = %.3e   mean = %.3e" % (bal.max(), bal.mean()))
+
+    x = (np.arange(cfg.N) + 0.5) * cfg.dx
+    paths = io_mod.write_solution_csvs(args.outdir, result, x, e_ave)
+    print(f"wrote {len(paths)} CSVs to {os.path.abspath(args.outdir)}")
+    return 0
+
+
+def _run(args, cfg, dtype):
+    """Dispatch to the selected engine; returns (SolveResult, e_ave)."""
+    import jax.numpy as jnp
+
+    from .models import transport
+    from .utils import io as io_mod  # noqa: F401  (kept for parity of imports)
+
     if args.engine == "fast":
         from .ops.fast_sweep import FastEngine
 
@@ -156,26 +203,7 @@ def main(argv=None) -> int:
         result = transport.run_problem(cfg, dtype=dtype)
         _, grid, _ = transport.build_tables(cfg, dtype=dtype)
         e_ave = np.asarray(grid.e_ave)
-    wall = time.perf_counter() - t0
-
-    steps = cfg.max_timesteps
-    updates = 4 * cfg.M * cfg.G * cfg.N * steps if cfg.ts_method == 3 else (
-        cfg.M * cfg.G * cfg.N * steps
-    )
-    if args.profile:
-        print(f"wall: {wall:.3f} s for {steps} steps "
-              f"({wall / max(steps, 1) * 1e3:.2f} ms/step, "
-              f"{updates / wall / 1e6:.1f} M updates/s)")
-
-    # Balance diagnostic (printed, not asserted — solver.cpp:275-282).
-    bal = np.asarray(result.balance)
-    print("balance |sinks-sources|/sources per group:")
-    print("  max = %.3e   mean = %.3e" % (bal.max(), bal.mean()))
-
-    x = (np.arange(cfg.N) + 0.5) * cfg.dx
-    paths = io_mod.write_solution_csvs(args.outdir, result, x, e_ave)
-    print(f"wrote {len(paths)} CSVs to {os.path.abspath(args.outdir)}")
-    return 0
+    return result, e_ave
 
 
 if __name__ == "__main__":
