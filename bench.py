@@ -48,17 +48,27 @@ def tpu_updates_per_s(M=32, G=1, N=1 << 20, steps=64, dtype="float32"):
     tables, _, _ = transport.build_tables(cfg, dtype=jdt)
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu and dtype == "float32":
-        # Fused single-pass Pallas step kernel (ops/pallas_sweep.py).
+        # Fused single-pass Pallas kernel, 8 whole BDF2 timesteps per
+        # launch (ops/pallas_sweep.py::multi_step).
         from radiative_transfer_tpu.ops.pallas_sweep import PallasEngine
 
-        eng = PallasEngine(cfg, tables, block=8192)
+        K = 8
+        steps = max(steps - steps % K, K)
+        eng = PallasEngine(cfg, tables, block=4096)
+        state = eng.init_state()
+
+        @jax.jit
+        def run(s):
+            return lax.fori_loop(
+                0, steps // K, lambda _, x: eng.multi_step(x, K), s
+            )
     else:
         eng = FastEngine(cfg, tables, dtype=jdt, chunk=256, unroll=8)
-    state = eng.init_state()
+        state = eng.init_state()
 
-    @jax.jit
-    def run(s):
-        return lax.fori_loop(0, steps, lambda _, x: eng.step(x), s)
+        @jax.jit
+        def run(s):
+            return lax.fori_loop(0, steps, lambda _, x: eng.step(x), s)
 
     out = jax.block_until_ready(run(state))  # compile + warm-up
     best = float("inf")

@@ -74,6 +74,15 @@ def _hillis_steele(b: jnp.ndarray, a: jnp.ndarray, blk: int) -> jnp.ndarray:
     return pref
 
 
+# NOTE: a two-level (chunked) in-register scan would cut the full-width
+# roll passes from log2(blk) to log2(128)+fixup, but Mosaic's layout
+# inference rejects the required lane-dim shape casts ("unsupported shape
+# cast" for (Bh, blk) -> (Bh*nch, 128)), and a (Bh, nch, 1)-shaped
+# cross-chunk array pads to full lane registers, erasing the saving. The
+# flat Hillis-Steele stays; the big HBM lever is multi-step fusion
+# (_make_bdf2_kernel with steps_per_launch > 1) instead.
+
+
 class _Coef(NamedTuple):
     w: jnp.ndarray
     T0: jnp.ndarray
@@ -197,75 +206,104 @@ def _make_kernel(kind: int, *, Bh: int, blk: int, Mh: int, G: int,
 
 def _make_bdf2_kernel(*, Bh: int, blk: int, Mh: int, G: int,
                       reflective: bool, s_be: float, s_cn: float,
-                      s_bdf: float):
-    """ONE kernel for the whole BDF2 4-phase timestep.
+                      s_bdf: float, K: int = 1):
+    """ONE kernel for K whole BDF2 4-phase timesteps.
 
-    The four sub-steps couple only (a) cell-locally within a block, (b)
-    through per-kind carries in sweep order, and (c) through the
-    reflective half-boundary — all expressible with per-kind VMEM carry
-    scratches over the same sequential (half, block) grid. half_ends never
-    crosses step boundaries in the reference BDF2 cycle (it is snapshotted
-    at phase 1 and consumed at phase 3, solver.cpp:733, 493-587), so the
-    intermediate BE/CN/BE planes never touch HBM: per full timestep this
-    kernel reads 2 planes (ends, which double as the committed prev_ends)
-    and writes 4 (new ends + the half snapshot, kept for state parity) —
-    versus ~21 plane-passes for 4 separate substep launches.
+    The sub-steps couple only (a) cell-locally within a block, (b) through
+    per-(step, kind) carries in sweep order, and (c) through the
+    reflective half-boundary — all expressible with VMEM carry scratches
+    over the same sequential (half, block) grid. Two fusion levels:
+
+    * across PHASES: half_ends never crosses step boundaries in the
+      reference BDF2 cycle (snapshotted at phase 1, consumed at phase 3,
+      solver.cpp:733, 493-587) and prev_ends is the step's input ends, so
+      the intermediate BE/CN/BE planes never touch HBM;
+    * across STEPS: step k at block i depends only on step k at blocks
+      < i (its own carries, in scratch) and step k-1 at block i (in
+      registers) — and the mu<0 half never reads the mu>0 half — so the
+      in-order (half, block) grid admits running K timesteps per block
+      visit. Intermediate steps' ends planes never touch HBM either.
+
+    HBM traffic for K timesteps: read 2 planes + write 4 (final ends +
+    final half snapshot, kept for state parity) = 6/K plane-passes per
+    step, versus ~21 for 4 separate substep launches.
+
+    Scratches: per step k, 4 phase carries; plus per step k an
+    ends/half tail pair (the upwind block's last prev/half edge for the
+    CN/BDF shift terms).
     """
 
     def kernel(cbe_ref, ccn_ref, cbdf_ref, bc_ref, perm_ref,
-               e0r, e1r, o0r, o1r, oh0r, oh1r,
-               cbe1, ccn, cbe2, cbdf, etail, htail):
+               e0r, e1r, o0r, o1r, oh0r, oh1r, op0r, op1r, *scratch):
+        assert len(scratch) == 6 * K
+        carries = scratch[: 4 * K]     # [k*4 + phase]
+        etails = scratch[4 * K: 5 * K]
+        htails = scratch[5 * K: 6 * K]
         h = pl.program_id(0)
         i = pl.program_id(1)
         kbe = _unpack_coef(cbe_ref)
         kcn = _unpack_coef(ccn_ref)
         kbdf = _unpack_coef(cbdf_ref)
 
-        carries = ((cbe1, s_be), (ccn, s_cn), (cbe2, s_be), (cbdf, s_bdf))
+        s_of_phase = (s_be, s_cn, s_be, s_bdf)
 
         @pl.when(jnp.logical_and(h == 0, i == 0))
         def _():
-            for cs, sk in carries:
-                cs[:] = sk * bc_ref[0]
-            etail[:] = jnp.zeros_like(etail)
-            htail[:] = jnp.zeros_like(htail)
+            for k in range(K):
+                for p in range(4):
+                    carries[4 * k + p][:] = s_of_phase[p] * bc_ref[0]
+                etails[k][:] = jnp.zeros_like(etails[k])
+                htails[k][:] = jnp.zeros_like(htails[k])
 
         @pl.when(jnp.logical_and(h == 1, i == 0))
         def _():
-            for cs, sk in carries:
-                if reflective:
-                    cs[:] = sk * jnp.dot(
-                        perm_ref[:], cs[:], preferred_element_type=jnp.float32
-                    )
-                else:
-                    cs[:] = sk * bc_ref[0]
-            etail[:] = jnp.zeros_like(etail)
-            htail[:] = jnp.zeros_like(htail)
+            for k in range(K):
+                for p in range(4):
+                    cs = carries[4 * k + p]
+                    if reflective:
+                        cs[:] = s_of_phase[p] * jnp.dot(
+                            perm_ref[:], cs[:],
+                            preferred_element_type=jnp.float32,
+                        )
+                    else:
+                        cs[:] = s_of_phase[p] * bc_ref[0]
+                etails[k][:] = jnp.zeros_like(etails[k])
+                htails[k][:] = jnp.zeros_like(htails[k])
 
         col = lax.broadcasted_iota(jnp.int32, (Bh, blk), 1)
         e0, e1 = e0r[0], e1r[0]
-        et_prev = etail[:]
-        ht_prev = htail[:]
-        zt = jnp.zeros_like(et_prev)
+        hc0 = hc1 = e0  # placeholder; overwritten in the loop
 
-        # Phase 0: BE(dt/2) predictor.
-        b0, b1 = _substep_block(BE, kbe, col, blk,
-                                e0, e1, e0, e1, e0, e1, cbe1, zt, zt)
-        # Phase 1: CN(dt/2) corrector -> half snapshot.
-        hc0, hc1 = _substep_block(CN, kcn, col, blk,
-                                  b0, b1, e0, e1, e0, e1, ccn, et_prev, zt)
-        # Phase 2: second BE(dt/2) predictor.
-        d0, d1 = _substep_block(BE, kbe, col, blk,
-                                hc0, hc1, e0, e1, hc0, hc1, cbe2, zt, zt)
-        # Phase 3: BDF2 corrector (prev = input ends, half = CN output).
-        f0, f1 = _substep_block(BDF, kbdf, col, blk,
-                                d0, d1, e0, e1, hc0, hc1, cbdf,
-                                et_prev, ht_prev)
+        for k in range(K):
+            et_prev = etails[k][:]
+            ht_prev = htails[k][:]
+            zt = jnp.zeros_like(et_prev)
+            cbe1, ccn, cbe2, cbdf = carries[4 * k: 4 * k + 4]
 
-        o0r[0], o1r[0] = f0, f1
+            # Phase 0: BE(dt/2) predictor.
+            b0, b1 = _substep_block(BE, kbe, col, blk,
+                                    e0, e1, e0, e1, e0, e1, cbe1, zt, zt)
+            # Phase 1: CN(dt/2) corrector -> half snapshot.
+            hc0, hc1 = _substep_block(CN, kcn, col, blk,
+                                      b0, b1, e0, e1, e0, e1, ccn,
+                                      et_prev, zt)
+            # Phase 2: second BE(dt/2) predictor.
+            d0, d1 = _substep_block(BE, kbe, col, blk,
+                                    hc0, hc1, e0, e1, hc0, hc1, cbe2, zt, zt)
+            # Phase 3: BDF2 corrector (prev = step input ends, half = CN).
+            f0, f1 = _substep_block(BDF, kbdf, col, blk,
+                                    d0, d1, e0, e1, hc0, hc1, cbdf,
+                                    et_prev, ht_prev)
+
+            etails[k][:] = e1[:, -1:]
+            htails[k][:] = hc1[:, -1:]
+            if k == K - 1:
+                # prev_ends of the final state = the LAST step's input.
+                op0r[0], op1r[0] = e0, e1
+            e0, e1 = f0, f1
+
+        o0r[0], o1r[0] = e0, e1
         oh0r[0], oh1r[0] = hc0, hc1
-        etail[:] = e1[:, -1:]
-        htail[:] = hc1[:, -1:]
 
     return kernel
 
@@ -319,9 +357,9 @@ class PallasEngine:
             kind: _pack_coeffs(kc) for kind, kc in self._fe.kcs.items()
         }
         self._calls = {kind: self._build_call(kind) for kind in self.coef}
-        self._bdf2_call = (
-            self._build_bdf2_call() if cfg.ts_method == 3 else None
-        )
+        self._bdf2_calls: dict = {}
+        if cfg.ts_method == 3:
+            self._bdf2_calls[1] = self._build_bdf2_call(1)
 
     # -- pallas call builder --------------------------------------------------
 
@@ -371,7 +409,7 @@ class PallasEngine:
         )
         return call
 
-    def _build_bdf2_call(self):
+    def _build_bdf2_call(self, K: int = 1):
         Bh, blk, nb = self.Bh, self.block, self.nblocks
         N = self.cfg.N
 
@@ -395,6 +433,7 @@ class PallasEngine:
             s_be=float(self._fe.kcs[BE].s),
             s_cn=float(self._fe.kcs[CN].s),
             s_bdf=float(self._fe.kcs[BDF].s),
+            K=K,
         )
 
         plane = jax.ShapeDtypeStruct((2, Bh, N), jnp.float32)
@@ -403,9 +442,9 @@ class PallasEngine:
             grid=(2, nb),
             in_specs=[coef_spec, coef_spec, coef_spec, bc_spec, perm_spec,
                       plane_spec, plane_spec],
-            out_specs=(plane_spec,) * 4,
-            out_shape=(plane, plane, plane, plane),
-            scratch_shapes=[pltpu.VMEM((Bh, 1), jnp.float32)] * 6,
+            out_specs=(plane_spec,) * 6,
+            out_shape=(plane,) * 6,
+            scratch_shapes=[pltpu.VMEM((Bh, 1), jnp.float32)] * (6 * K),
             interpret=self.interpret,
         )
 
@@ -431,11 +470,22 @@ class PallasEngine:
             ne0, ne1 = self.substep(CN, st1)
             return fs.FlatState(ne0, ne1, st.e0, st.e1, st.h0, st.h1)
         # BDF2: the whole 4-phase cycle in one fused kernel launch.
-        ne0, ne1, nh0, nh1 = self._bdf2_call(
+        return self.multi_step(st, 1)
+
+    def multi_step(self, st: fs.FlatState, K: int) -> fs.FlatState:
+        """K whole BDF2 timesteps in ONE kernel launch (intermediate steps'
+        planes never touch HBM — 6/K plane-passes per step). Identical
+        trajectory to K calls of step(); requires ts_method == 3."""
+        assert self.cfg.ts_method == 3
+        call = self._bdf2_calls.get(K)
+        if call is None:
+            call = self._build_bdf2_call(K)
+            self._bdf2_calls[K] = call
+        ne0, ne1, nh0, nh1, np0, np1 = call(
             self.coef[BE], self.coef[CN], self.coef[BDF],
             self.bc, self.refl_P, st.e0, st.e1,
         )
-        return fs.FlatState(ne0, ne1, st.e0, st.e1, nh0, nh1)
+        return fs.FlatState(ne0, ne1, np0, np1, nh0, nh1)
 
     # -- layout: planes are flat (2, Bh, N); reuse FastEngine converters ---------
 
@@ -465,13 +515,32 @@ class PallasEngine:
         return self.ends_pair(st.e0, st.e1)
 
     def solve(self, state: Optional[fs.FlatState] = None,
-              num_steps: Optional[int] = None) -> fs.FlatState:
+              num_steps: Optional[int] = None,
+              steps_per_launch: Optional[int] = None) -> fs.FlatState:
+        """Run n timesteps. For BDF2, multiple whole timesteps are fused
+        into each kernel launch (default 8, or as many as remain) — same
+        trajectory, ~1/K of the HBM traffic."""
         n = self.cfg.max_timesteps if num_steps is None else num_steps
         if state is None:
             state = self.init_state()
+        if self.cfg.ts_method != 3:
+            @jax.jit
+            def run(st):
+                return lax.fori_loop(0, n, lambda _, s: self.step(s), st)
+
+            return run(state)
+
+        K = steps_per_launch or min(8, max(n, 1))
+        body, tail = divmod(n, K)
 
         @jax.jit
         def run(st):
-            return lax.fori_loop(0, n, lambda _, s: self.step(s), st)
+            if body:
+                st = lax.fori_loop(
+                    0, body, lambda _, s: self.multi_step(s, K), st
+                )
+            if tail:
+                st = self.multi_step(st, tail)
+            return st
 
         return run(state)

@@ -77,3 +77,33 @@ def test_bc_combinations(bc_left, bc_right):
         psi_source=tuple((float(i + 1),) for i in range(8)),
     )
     _compare(cfg, 2)
+
+
+def test_multi_step_fusion_matches_single_steps():
+    """K fused timesteps per launch == K separate step() calls (bitwise:
+    identical op order per block, only the HBM round-trips differ)."""
+    cfg = load_config(conftest.reference_deck("single_group.prm"),
+                      max_timesteps=6, N=64)
+    tables, _, _ = transport.build_tables(cfg)
+    eng = pallas_sweep.PallasEngine(cfg, tables, block=16)
+
+    st_loop = eng.init_state()
+    for _ in range(6):
+        st_loop = eng.step(st_loop)
+
+    st_fused = eng.multi_step(eng.init_state(), 6)
+    np.testing.assert_array_equal(
+        np.asarray(st_fused.e0), np.asarray(st_loop.e0)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_fused.e1), np.asarray(st_loop.e1)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_fused.h1), np.asarray(st_loop.h1)
+    )
+
+    # and through solve()'s mixed body+tail path (K=4 then tail=2)
+    st_solve = eng.solve(num_steps=6, steps_per_launch=4)
+    np.testing.assert_array_equal(
+        np.asarray(st_solve.e0), np.asarray(st_loop.e0)
+    )
