@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark suite: updates/s per chip across workloads and engines.
+
+Extends the headline bench.py (which stays the driver-facing single JSON
+line) with the BASELINE.md workload matrix: the gray high-resolution slab,
+multigroup slabs with correction sources (LLNL-like group counts), every
+engine, and both precisions. Prints one JSON line per case plus a summary
+table.
+
+Usage:
+    python benchmarks/suite.py [--quick] [--engines pallas,fast,general]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Allow `python benchmarks/suite.py` from anywhere.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _mk_cfg(M, G, N, steps, use_correction=False):
+    from radiative_transfer_tpu.config.config import Config
+
+    return Config(
+        M=M, G=G, N=N, X=1.0,
+        bc_left_indicator=2, bc_right_indicator=1,
+        psi_source=tuple(tuple(4.0931 for _ in range(G)) for _ in range(M)),
+        rho=1.0, kappa_grey=1.0, T=1.0,
+        V=1.0 if use_correction else 0.0,
+        use_correction=use_correction,
+        ts_method=3, dt=1e-5, max_timesteps=steps,
+        include_validation=False,
+    )
+
+
+def _time_best(run, state, repeats=3):
+    import jax
+
+    out = jax.block_until_ready(run(state))  # compile + warm-up
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(run(out))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def run_case(engine, cfg, dtype_name):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from radiative_transfer_tpu.models import transport
+
+    dtype = jnp.float32 if dtype_name == "float32" else jnp.float64
+    steps = cfg.max_timesteps
+    tables, _, _ = transport.build_tables(cfg, dtype=dtype)
+
+    if engine == "pallas":
+        from radiative_transfer_tpu.ops.pallas_sweep import PallasEngine
+
+        eng = PallasEngine(cfg, tables, block=4096)
+        K = eng.max_steps_per_launch()
+        while steps % K:
+            K //= 2
+        state = eng.init_state()
+
+        @jax.jit
+        def run(s):
+            return lax.fori_loop(
+                0, steps // K, lambda _, x: eng.multi_step(x, K), s
+            )
+
+    elif engine == "fast":
+        from radiative_transfer_tpu.ops.fast_sweep import FastEngine
+
+        eng = FastEngine(cfg, tables, dtype=dtype, chunk=256, unroll=8)
+        state = eng.init_state()
+
+        @jax.jit
+        def run(s):
+            return lax.fori_loop(0, steps, lambda _, x: eng.step(x), s)
+
+    else:  # general
+        state = transport.initial_state(cfg, tables, dtype=dtype)
+        step = transport.make_step_fn(cfg, tables)
+
+        @jax.jit
+        def run(s):
+            return lax.fori_loop(0, steps, lambda _, x: step(x), s)
+
+    best = _time_best(run, state)
+    updates = 4 * cfg.M * cfg.G * cfg.N * steps
+    return updates / best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--engines", default="pallas,fast")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform != "cpu"
+    scale = 1 if not args.quick else 16
+
+    # (name, M, G, N, steps, correction)
+    cases = [
+        ("gray_hires_s32", 32, 1, (1 << 20) // scale, 64, False),
+        ("gray_s8", 8, 1, (1 << 18) // scale, 64, False),
+        ("mg16_correction_s8", 8, 16, (1 << 16) // scale, 32, True),
+        ("mg128_s4", 4, 128, (1 << 13) // scale, 32, False),
+    ]
+    engines = args.engines.split(",")
+
+    rows = []
+    for name, M, G, N, steps, corr in cases:
+        for engine in engines:
+            if engine == "pallas" and not on_tpu and N > (1 << 14):
+                continue  # interpreter too slow for big cases
+            dtypes = ["float32"] if engine == "pallas" else ["float32", "float64"]
+            for dt in dtypes:
+                try:
+                    ups = run_case(engine, _mk_cfg(M, G, N, steps, corr), dt)
+                    rec = {
+                        "case": name, "engine": engine, "dtype": dt,
+                        "M": M, "G": G, "N": N, "steps": steps,
+                        "platform": platform,
+                        "updates_per_s": ups,
+                    }
+                    rows.append(rec)
+                    print(json.dumps(rec), flush=True)
+                except Exception as e:  # noqa: BLE001 - report and continue
+                    print(json.dumps({
+                        "case": name, "engine": engine, "dtype": dt,
+                        "error": f"{type(e).__name__}",
+                    }), flush=True)
+
+    print("\ncase                  engine   dtype    G updates/s", file=sys.stderr)
+    for r in rows:
+        print(f"{r['case']:<21} {r['engine']:<8} {r['dtype']:<8} "
+              f"{r['updates_per_s'] / 1e9:8.2f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -71,7 +71,11 @@ def main(argv=None) -> int:
                     help=".prm input deck (reference grammar)")
     ap.add_argument("--outdir", default=".")
     ap.add_argument("--steps", type=int, default=None)
-    ap.add_argument("--engine", choices=("general", "fast"), default="general")
+    ap.add_argument("--engine", choices=("general", "fast", "pallas"),
+                    default="general",
+                    help="general: f64 scan path (default); fast: tiled "
+                         "fused XLA engine; pallas: single-pass TPU kernel "
+                         "(float32, interpreted off-TPU)")
     ap.add_argument("--dtype", choices=("float64", "float32"), default="float64")
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--checkpoint-dir", default=None,
@@ -150,13 +154,18 @@ def _run(args, cfg, dtype):
     from .models import transport
     from .utils import io as io_mod  # noqa: F401  (kept for parity of imports)
 
-    if args.engine == "fast":
-        from .ops.fast_sweep import FastEngine
-
+    if args.engine in ("fast", "pallas"):
         tables, grid, ct = transport.build_tables(cfg, dtype=jnp.float64)
         if cfg.include_validation:
             assert transport.validate_tables(cfg, ct), "Invalid Correction Terms"
-        eng = FastEngine(cfg, tables, dtype=dtype)
+        if args.engine == "pallas":
+            from .ops.pallas_sweep import PallasEngine
+
+            eng = PallasEngine(cfg, tables)
+        else:
+            from .ops.fast_sweep import FastEngine
+
+            eng = FastEngine(cfg, tables, dtype=dtype)
         fst = eng.solve()
         ends = eng.ends(fst)
         psi = transport.psi_from_ends(ends)

@@ -327,6 +327,13 @@ class PallasEngine:
             self.block //= 2
             if self.block == 0:
                 raise ValueError(f"N={cfg.N} has no power-of-two block")
+        # VMEM budget: the fused kernel keeps ~8 double-buffered block
+        # planes live (2 in + 6 out); Bh*block <= 2^17 f32 elements keeps
+        # that under the 16 MiB scoped-vmem limit with headroom for
+        # transients (verified empirically: Bh=64 x blk=4096 ooms, x2048
+        # fits).
+        while self.Bh * self.block > (1 << 17) and self.block > 128:
+            self.block //= 2
         self.nblocks = cfg.N // self.block
         if interpret is None:
             # Mosaic-compile on any real TPU backend (including tunnelled
@@ -472,6 +479,17 @@ class PallasEngine:
         # BDF2: the whole 4-phase cycle in one fused kernel launch.
         return self.multi_step(st, 1)
 
+    def max_steps_per_launch(self) -> int:
+        """Largest K the fused multi-step kernel compiles with (empirical
+        scoped-VMEM boundary on v5e: Bh*block <= 2^16 elements admits K=8,
+        <= 2^17 admits K=2, above that single steps only)."""
+        p = self.Bh * self.block
+        if p <= (1 << 16):
+            return 8
+        if p <= (1 << 17) and self.Bh <= 64:
+            return 2
+        return 1
+
     def multi_step(self, st: fs.FlatState, K: int) -> fs.FlatState:
         """K whole BDF2 timesteps in ONE kernel launch (intermediate steps'
         planes never touch HBM — 6/K plane-passes per step). Identical
@@ -530,7 +548,7 @@ class PallasEngine:
 
             return run(state)
 
-        K = steps_per_launch or min(8, max(n, 1))
+        K = steps_per_launch or min(self.max_steps_per_launch(), max(n, 1))
         body, tail = divmod(n, K)
 
         @jax.jit
