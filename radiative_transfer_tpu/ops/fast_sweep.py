@@ -303,25 +303,33 @@ class FastEngine:
         return FlatState(plane, plane, plane, plane, plane, plane)
 
     # -- one fused sub-step ----------------------------------------------------
+    # Split into stages so the multi-chip engine (parallel/sharded_fast.py)
+    # can reuse the algebra verbatim and inject a cross-shard carry
+    # exchange between the local scan and the finish.
 
-    def substep(self, kind: int, st: FlatState) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def rhs(self, kind: int, st: FlatState, shift1=None):
+        """Carry-independent RHS planes (r0, r1, b). `shift1` overrides the
+        one-cell-downwind shift (the sharded engine patches the first cell
+        with the upstream shard's halo)."""
         kc = self.kcs[kind]
+        if shift1 is None:
+            shift1 = _shift1_tiled
         # Source term (correction is linear in psi, pre-scaled on host).
         psi = 0.5 * (st.e0 + st.e1)
         S = kc.Sbase + kc.c1 * psi + kc.c0
 
-        # Carry-independent RHS (boundary fills folded out; module doc).
+        # Boundary fills folded out; module doc.
         if kind == BE:
             r0 = S + kc.k_ee * st.e0
             r1 = S + kc.k_ee * st.e1
         elif kind == CN:
-            r0 = S + kc.k_ee * st.e0 - kc.q * st.e1 + kc.w * _shift1_tiled(st.p1)
+            r0 = S + kc.k_ee * st.e0 - kc.q * st.e1 + kc.w * shift1(st.p1)
             r1 = S + kc.q * st.e0 + kc.k_ee * st.e1
         else:  # BDF
             r0 = (
                 S + kc.k_ee * st.h0 - 2.0 * kc.w * st.h1
                 - kc.k_p * st.p0 - kc.q * st.p1
-                + kc.w * (4.0 * _shift1_tiled(st.h1) + _shift1_tiled(st.p1))
+                + kc.w * (4.0 * shift1(st.h1) + shift1(st.p1))
             )
             r1 = (
                 S + 2.0 * kc.w * st.h0 + kc.k_ee * st.h1
@@ -329,7 +337,14 @@ class FastEngine:
             )
 
         b = (kc.q * r0 + kc.T0 * r1) * kc.inv_det          # (chunk,2,Bh,nc)
+        return r0, r1, b
 
+    def local_scan(self, kind: int, b: jnp.ndarray):
+        """Two-level scan over this device's cells (zero inflow). Returns
+        (pb, pow_t, EXa, EXb, a_powN, tot_b): in-chunk prefixes, a-powers,
+        exclusive cross-chunk composites, and the total composite map
+        (out = a_powN * in + tot_b) of the whole local axis."""
+        kc = self.kcs[kind]
         # Level 1: in-chunk scan over t (zero init), no transposes.
         a3 = kc.a[0]                                       # (2, Bh, 1)
 
@@ -343,7 +358,7 @@ class FastEngine:
 
         # a^{t+1} and a^{chunk}: tiny cumulative products.
         pow_t = jnp.cumprod(
-            jnp.broadcast_to(kc.a, (self.chunk,) + kc.a.shape[1:]), axis=0
+            jnp.broadcast_to(kc.a, (b.shape[0],) + kc.a.shape[1:]), axis=0
         )                                                  # (chunk,2,Bh,1)
         a_chunk = pow_t[-1]                                # (2, Bh, 1)
 
@@ -358,18 +373,26 @@ class FastEngine:
         EXb = jnp.concatenate(
             [jnp.zeros_like(inc_b[..., :1]), inc_b[..., :-1]], axis=-1
         )
+        return pb, pow_t, EXa, EXb, a_powN, tot_b
 
-        # Inflows. The mu>0 reflective inflow is the mu<0 half's outflow =
-        # its total composite applied to its own (effective) inflow.
+    def inflow(self, kind: int, a_powN: jnp.ndarray, tot_b: jnp.ndarray):
+        """Effective inflow per half given the GLOBAL total composite. The
+        mu>0 reflective inflow is the mu<0 half's outflow = its composite
+        applied to its own inflow (solver.cpp:679-683)."""
+        kc = self.kcs[kind]
         init_neg = kc.s * self.bc_neg                      # (Bh,)
         if self.bc_pos_fixed is None:
             out_neg = a_powN[0, :, 0] * init_neg + tot_b[0, :, 0]
             bc_pos = out_neg[self.refl_flip]
         else:
             bc_pos = self.bc_pos_fixed
-        inflow = jnp.stack([init_neg, kc.s * bc_pos], axis=0)[..., None]
+        return jnp.stack([init_neg, kc.s * bc_pos], axis=0)[..., None]
 
-        EX = EXa * inflow + EXb                            # (2, Bh, nc)
+    def finish(self, kind: int, r0, r1, pb, pow_t, EXa, EXb, incoming):
+        """Reconstruct both cell edges from the incoming carry (the value
+        entering this device's first cell, (2, Bh, 1))."""
+        kc = self.kcs[kind]
+        EX = EXa * incoming + EXb                          # (2, Bh, nc)
 
         # Incoming carry for (t, i): a^t * EX_i + pb[t-1, i].
         pow_t_ex = jnp.concatenate(
@@ -383,6 +406,12 @@ class FastEngine:
         ne0 = (kc.T0 * u - kc.q * r1) * kc.inv_det
         ne1 = (kc.q * u + kc.T0 * r1) * kc.inv_det
         return ne0, ne1
+
+    def substep(self, kind: int, st: FlatState) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        r0, r1, b = self.rhs(kind, st)
+        pb, pow_t, EXa, EXb, a_powN, tot_b = self.local_scan(kind, b)
+        incoming = self.inflow(kind, a_powN, tot_b)
+        return self.finish(kind, r0, r1, pb, pow_t, EXa, EXb, incoming)
 
     # -- full steps -------------------------------------------------------------
 

@@ -1,0 +1,84 @@
+"""Sharded FAST engine == single-device FAST engine (virtual 8-dev mesh)."""
+
+import conftest  # noqa: F401
+from conftest import reference_deck
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radiative_transfer_tpu import load_config
+from radiative_transfer_tpu.models import transport
+from radiative_transfer_tpu.ops import fast_sweep
+from radiative_transfer_tpu.parallel import sharded_fast
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return sharded_fast.make_mesh_1d(8)
+
+
+def _compare(cfg, mesh, num_steps, chunk=8, tol=5e-13):
+    tables, _, _ = transport.build_tables(cfg)
+    eng, fst = fast_sweep.solve_fast(
+        cfg, tables, num_steps=num_steps, dtype=jnp.float64, chunk=chunk
+    )
+    seng = sharded_fast.ShardedFastEngine(
+        cfg, tables, mesh, dtype=jnp.float64, chunk=chunk
+    )
+    sst = seng.solve(num_steps=num_steps)
+
+    ref = np.asarray(eng.ends(fst))
+    got = np.asarray(seng.ends(sst))
+    scale = np.max(np.abs(ref)) + 1e-300
+    assert np.max(np.abs(got - ref)) / scale < tol
+    # prev/half planes too (BDF2 history must survive the decomposition)
+    if cfg.ts_method == 3:
+        for a, b in ((fst.p1, sst.p1), (fst.h1, sst.h1)):
+            d = np.max(np.abs(np.asarray(a) - np.asarray(b))) / scale
+            assert d < tol
+
+
+@pytest.mark.parametrize("ts_method", [1, 2, 3])
+def test_gray_deck(mesh8, ts_method):
+    cfg = load_config(reference_deck("single_group.prm"),
+                      max_timesteps=8, N=128, ts_method=ts_method)
+    _compare(cfg, mesh8, 8)
+
+
+def test_multigroup_correction(mesh8):
+    cfg = load_config(reference_deck("multi_group_equilibrium.prm"),
+                      max_timesteps=6, N=64)
+    _compare(cfg, mesh8, 6)
+
+
+def test_llnl_deck(mesh8):
+    cfg = load_config(reference_deck("llnl_slab_test.prm"), N=64)
+    _compare(cfg, mesh8, 2)
+
+
+@pytest.mark.parametrize("bc_left,bc_right", [(0, 0), (1, 1), (2, 0)])
+def test_bc_combinations(mesh8, bc_left, bc_right):
+    cfg = load_config(reference_deck("single_group.prm"),
+                      max_timesteps=5, N=64,
+                      bc_left_indicator=bc_left, bc_right_indicator=bc_right)
+    _compare(cfg, mesh8, 5)
+
+
+def test_matches_general_sharded_trajectory(mesh8):
+    """Cross-check against the general engine (not just fast vs fast)."""
+    cfg = load_config(reference_deck("single_group.prm"),
+                      max_timesteps=5, N=64)
+    tables, _, _ = transport.build_tables(cfg)
+    res = transport.run_problem(cfg, num_steps=5)
+
+    seng = sharded_fast.ShardedFastEngine(
+        cfg, tables, mesh8, dtype=jnp.float64, chunk=8
+    )
+    sst = seng.solve(num_steps=5)
+    ends = np.asarray(seng.ends(sst))
+    ref = np.asarray(res.state.ends)
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(ends - ref)) / scale < 1e-12
