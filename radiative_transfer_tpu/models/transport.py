@@ -258,15 +258,21 @@ def make_step_fn(cfg: Config, tables: Tables):
     elif cfg.ts_method == 3:
         half_dt = cfg.dt / 2.0
 
+        Mh = cfg.M // 2
+
         def step(state: State) -> State:
             # Phase 0: commit prev, BE(dt/2) predictor.
             prev = state.ends
             e1 = sub(sweep_mod.BE, ends=state.ends, prev_ends=prev,
                      half_ends=state.half_ends, ts=half_dt)
-            # Phase 1: CN(dt/2) corrector; snapshot half_ends.
+            # Phase 1: CN(dt/2) corrector; snapshot half_ends. The
+            # reference's snapshot copy executes only in the mu<0 branch
+            # of the cell loop (solver.cpp:733; absent at 784-787), so
+            # the mu>0 half of the snapshot holds the phase-0 BE output —
+            # replicated (verified against the reference binary).
             e2 = sub(sweep_mod.CN, ends=e1, prev_ends=prev,
                      half_ends=state.half_ends, ts=half_dt)
-            half = e2
+            half = jnp.concatenate([e2[:Mh], e1[Mh:]], axis=0)
             # Phase 2: second BE(dt/2) predictor.
             e3 = sub(sweep_mod.BE, ends=e2, prev_ends=prev,
                      half_ends=half, ts=half_dt)

@@ -427,10 +427,14 @@ class FastEngine:
         # BDF2 4-phase cycle (solver.cpp:594-598, 620-625, 700-811).
         p0, p1 = st.e0, st.e1                      # commit prev
         s1 = FlatState(st.e0, st.e1, p0, p1, st.h0, st.h1)
-        e0, e1 = self.substep(BE, s1)
-        s2 = FlatState(e0, e1, p0, p1, st.h0, st.h1)
+        b0, b1 = self.substep(BE, s1)              # phase-0 predictor
+        s2 = FlatState(b0, b1, p0, p1, st.h0, st.h1)
         e0, e1 = self.substep(CN, s2)
-        h0, h1 = e0, e1                            # snapshot half
+        # Snapshot half: plane axis 1 is [mu<0, mu>0]; the mu>0 half keeps
+        # the phase-0 BE output (reference quirk — the half_ends copy sits
+        # only in the mu<0 branch, solver.cpp:733 vs 784-787).
+        h0 = jnp.concatenate([e0[:, :1], b0[:, 1:]], axis=1)
+        h1 = jnp.concatenate([e1[:, :1], b1[:, 1:]], axis=1)
         s3 = FlatState(e0, e1, p0, p1, h0, h1)
         e0, e1 = self.substep(BE, s3)
         s4 = FlatState(e0, e1, p0, p1, h0, h1)

@@ -274,6 +274,14 @@ def _make_bdf2_kernel(*, Bh: int, blk: int, Mh: int, G: int,
         e0, e1 = e0r[0], e1r[0]
         hc0 = hc1 = e0  # placeholder; overwritten in the loop
 
+        # The half_ends snapshot is the CN output for the mu<0 half but
+        # the phase-0 BE output for the mu>0 half (reference quirk: the
+        # copy sits only in the mu<0 branch of the cell loop,
+        # solver.cpp:733 vs 784-787). This grid step processes one half,
+        # so the snapshot source is selected once per grid step.
+        is_neg = (h == 0)
+        hs0 = hs1 = e0  # placeholders; overwritten in the loop
+
         for k in range(K):
             et_prev = etails[k][:]
             ht_prev = htails[k][:]
@@ -283,27 +291,30 @@ def _make_bdf2_kernel(*, Bh: int, blk: int, Mh: int, G: int,
             # Phase 0: BE(dt/2) predictor.
             b0, b1 = _substep_block(BE, kbe, col, blk,
                                     e0, e1, e0, e1, e0, e1, cbe1, zt, zt)
-            # Phase 1: CN(dt/2) corrector -> half snapshot.
+            # Phase 1: CN(dt/2) corrector -> half snapshot (see above).
             hc0, hc1 = _substep_block(CN, kcn, col, blk,
                                       b0, b1, e0, e1, e0, e1, ccn,
                                       et_prev, zt)
+            hs0 = jnp.where(is_neg, hc0, b0)
+            hs1 = jnp.where(is_neg, hc1, b1)
             # Phase 2: second BE(dt/2) predictor.
             d0, d1 = _substep_block(BE, kbe, col, blk,
-                                    hc0, hc1, e0, e1, hc0, hc1, cbe2, zt, zt)
-            # Phase 3: BDF2 corrector (prev = step input ends, half = CN).
+                                    hc0, hc1, e0, e1, hs0, hs1, cbe2, zt, zt)
+            # Phase 3: BDF2 corrector (prev = step input ends, half = the
+            # mixed snapshot).
             f0, f1 = _substep_block(BDF, kbdf, col, blk,
-                                    d0, d1, e0, e1, hc0, hc1, cbdf,
+                                    d0, d1, e0, e1, hs0, hs1, cbdf,
                                     et_prev, ht_prev)
 
             etails[k][:] = e1[:, -1:]
-            htails[k][:] = hc1[:, -1:]
+            htails[k][:] = hs1[:, -1:]
             if k == K - 1:
                 # prev_ends of the final state = the LAST step's input.
                 op0r[0], op1r[0] = e0, e1
             e0, e1 = f0, f1
 
         o0r[0], o1r[0] = e0, e1
-        oh0r[0], oh1r[0] = hc0, hc1
+        oh0r[0], oh1r[0] = hs0, hs1
 
     return kernel
 

@@ -283,12 +283,15 @@ def make_sharded_solve(
             return transport.State(ends, prev, state.half_ends)
         if cfg.ts_method == 3:
             half_dt = cfg.dt / 2.0
+            Mh = cfg.M // 2
             prev = state.ends
             e1 = sub(sweep_mod.BE, state.ends, prev, state.half_ends,
                      ts=half_dt, **kw)
             e2 = sub(sweep_mod.CN, e1, prev, state.half_ends,
                      ts=half_dt, **kw)
-            half = e2
+            # mu>0 half snapshot = phase-0 BE output (reference quirk,
+            # solver.cpp:733 vs 784-787; see models/transport.py).
+            half = jnp.concatenate([e2[:Mh], e1[Mh:]], axis=0)
             e3 = sub(sweep_mod.BE, e2, prev, half, ts=half_dt, **kw)
             e4 = sub(sweep_mod.BDF, e3, prev, half, ts=half_dt, **kw)
             return transport.State(e4, prev, half)

@@ -128,10 +128,13 @@ class ShardedFastEngine:
         # BDF2 4-phase cycle.
         p0, p1 = st.e0, st.e1
         s1 = fs.FlatState(st.e0, st.e1, p0, p1, st.h0, st.h1)
-        e0, e1 = self._substep(fs.BE, s1)
-        s2 = fs.FlatState(e0, e1, p0, p1, st.h0, st.h1)
+        b0, b1 = self._substep(fs.BE, s1)
+        s2 = fs.FlatState(b0, b1, p0, p1, st.h0, st.h1)
         e0, e1 = self._substep(fs.CN, s2)
-        h0, h1 = e0, e1
+        # mu>0 half snapshot = phase-0 BE output (reference quirk,
+        # solver.cpp:733 vs 784-787; see ops/fast_sweep.py).
+        h0 = jnp.concatenate([e0[:, :1], b0[:, 1:]], axis=1)
+        h1 = jnp.concatenate([e1[:, :1], b1[:, 1:]], axis=1)
         s3 = fs.FlatState(e0, e1, p0, p1, h0, h1)
         e0, e1 = self._substep(fs.BE, s3)
         s4 = fs.FlatState(e0, e1, p0, p1, h0, h1)

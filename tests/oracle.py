@@ -188,14 +188,26 @@ class Oracle:
         self.sweep(self.crank_nicolson, self.dt)
 
     def step_bdf2(self):
-        """One full BDF2 step = BE, CN, BE, BDF sub-steps of dt/2."""
+        """One full BDF2 step = BE, CN, BE, BDF sub-steps of dt/2.
+
+        half_ends snapshot quirk: the reference's `half_ends = ends` copy
+        at phase 1 sits only in the mu<0 branch of the cell loop
+        (solver.cpp:733; absent from the mu>0 dispatch at 784-787), so its
+        LAST execution happens before any mu>0 direction runs CN. The
+        snapshot therefore holds the CN output for the mu<0 half but the
+        phase-0 BE-predictor output for the mu>0 half. Verified against
+        the reference binary (shim build) on all three decks; replicated
+        here and in every engine."""
         half = self.dt / 2.0
+        Mh = self.M // 2
         self.prev_ends = self.ends.copy()
         self.compute_correction()
         self.sweep(self.backward_euler, half)
+        ends_phase0 = self.ends.copy()
         self.compute_correction()
         self.sweep(self.crank_nicolson, half)
         self.half_ends = self.ends.copy()
+        self.half_ends[Mh:] = ends_phase0[Mh:]
         self.compute_correction()
         self.sweep(self.backward_euler, half)
         self.compute_correction()

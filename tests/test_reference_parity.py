@@ -1,0 +1,160 @@
+"""GOLDEN parity: our solver vs the reference C++ binary itself.
+
+The image ships no Eigen, so the reference miniapp is compiled against a
+minimal Eigen-compatible shim written for this project
+(tests/eigen_shim/ — original code implementing only the API subset the
+reference uses). The build must be -O0: the reference's param-library
+get<T> specializations live in param.cpp without header declarations, so
+an optimizing build inlines the generic template (which returns the
+default for every key!) — upstream's default CMake build is unoptimized,
+which is why it works there. A lowercase `constants.h` alias is also
+needed (the reference includes "constants.h" but ships "Constants.h" —
+it only builds on case-insensitive filesystems).
+
+Each deck runs through BOTH codes end-to-end and every output CSV is
+compared. Tolerance 1e-5 relative-to-field-max: the reference prints 6
+significant digits.
+
+These runs also pinned down a real behavioral quirk now replicated in
+every engine: the BDF2 half_ends snapshot applies the CN output only to
+the mu<0 half (solver.cpp:733 sits in the mu<0 branch only; the mu>0
+half keeps the phase-0 BE predictor output).
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from conftest import reference_deck
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+
+SOURCES = [
+    "src/main.cc", "src/solver.cpp", "src/correction.cpp", "src/Planck.cpp",
+    "src/GLQuad.cpp", "src/ParameterHandler.cpp", "src/param.cpp",
+]
+
+
+@pytest.fixture(scope="session")
+def transfer_binary(tmp_path_factory):
+    if shutil.which("g++") is None:
+        pytest.skip("no g++ toolchain")
+    if not os.path.isdir(REF):
+        pytest.skip("reference sources not mounted")
+    build = tmp_path_factory.mktemp("refbuild")
+    (build / "constants.h").write_text('#include "Constants.h"\n')
+    (build / "var-config.h").write_text(f'#define TRANSFER_DIR "{REF}/"\n')
+    out = build / "transfer"
+    cmd = [
+        "g++", "-O0", "-std=c++14",
+        f"-I{REF}/include",
+        f"-I{os.path.join(REPO, 'tests', 'eigen_shim')}",
+        f"-I{build}",
+        *[os.path.join(REF, s) for s in SOURCES],
+        "-o", str(out),
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    if res.returncode != 0:
+        pytest.skip(f"reference build failed:\n{res.stderr[-2000:]}")
+    return str(out)
+
+
+def _run_reference(binary, deck_path, workdir):
+    """Run the reference binary with the cwd layout it expects (aux
+    tables resolve at ../prm/ relative to the run directory)."""
+    rundir = os.path.join(workdir, "build")
+    prmdir = os.path.join(workdir, "prm")
+    os.makedirs(rundir, exist_ok=True)
+    os.makedirs(prmdir, exist_ok=True)
+    for name in os.listdir(os.path.join(REF, "prm")):
+        if name.endswith(".txt"):
+            shutil.copy(os.path.join(REF, "prm", name), prmdir)
+    res = subprocess.run(
+        [binary, deck_path], cwd=rundir, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-500:]
+    return rundir
+
+
+def _run_ours(deck_path, outdir):
+    import jax.numpy as jnp
+
+    from radiative_transfer_tpu.config.config import load_config
+    from radiative_transfer_tpu.models import transport
+    from radiative_transfer_tpu.utils import io as io_mod
+
+    cfg = load_config(deck_path)
+    result = transport.run_problem(cfg, dtype=jnp.float64)
+    _, grid, _ = transport.build_tables(cfg)
+    x = (np.arange(cfg.N) + 0.5) * cfg.dx
+    io_mod.write_solution_csvs(outdir, result, x, np.asarray(grid.e_ave))
+    return outdir
+
+
+FIELDS = ("phi", "phi_plus", "F", "psi", "left_ends", "right_ends", "e_ave")
+
+
+def _compare(refdir, ourdir, tol=1e-5):
+    report = {}
+    for name in FIELDS:
+        a = np.loadtxt(os.path.join(refdir, name + ".csv"))
+        b = np.loadtxt(os.path.join(ourdir, name + ".csv"))
+        assert a.shape == b.shape, name
+        scale = max(np.abs(a).max(), 1e-300)
+        report[name] = float(np.abs(a - b).max() / scale)
+    bad = {k: v for k, v in report.items() if v > tol}
+    assert not bad, f"golden mismatch vs reference binary: {bad}"
+    return report
+
+
+def _deck_with_steps(src, steps, tmpdir):
+    """Copy a deck with a reduced max_timesteps (same physics, faster).
+    Aux tables are copied alongside so both loaders resolve them."""
+    for name in os.listdir(os.path.join(REF, "prm")):
+        if name.endswith(".txt"):
+            shutil.copy(os.path.join(REF, "prm", name), tmpdir)
+    text = open(src).read()
+    out = os.path.join(tmpdir, os.path.basename(src))
+    lines = []
+    for line in text.splitlines():
+        if line.startswith("max_timesteps="):
+            line = f"max_timesteps={steps}"
+        lines.append(line)
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return out
+
+
+@pytest.mark.parametrize("deck,steps", [
+    ("single_group.prm", 100),
+    ("multi_group_equilibrium.prm", 100),
+    ("llnl_slab_test.prm", 2),
+])
+def test_deck_matches_reference_binary(transfer_binary, tmp_path, deck, steps):
+    deck_path = _deck_with_steps(reference_deck(deck), steps, str(tmp_path))
+    refdir = _run_reference(transfer_binary, deck_path, str(tmp_path))
+    ourdir = _run_ours(deck_path, str(tmp_path / "ours"))
+    report = _compare(refdir, ourdir)
+    # sanity: the comparison actually saw non-trivial fields
+    assert np.abs(np.loadtxt(os.path.join(refdir, "phi.csv"))).max() > 0
+
+
+def test_be_and_cn_match_reference_binary(transfer_binary, tmp_path):
+    """The pure BE and CN integrators, via modified decks."""
+    base = open(reference_deck("multi_group_equilibrium.prm")).read()
+    for ts in (1, 2):
+        work = tmp_path / f"ts{ts}"
+        work.mkdir()
+        deck = os.path.join(work, "deck.prm")
+        text = base.replace("ts_method=3", f"ts_method={ts}").replace(
+            "max_timesteps=500", "max_timesteps=50"
+        )
+        open(deck, "w").write(text)
+        refdir = _run_reference(transfer_binary, deck, str(work))
+        ourdir = _run_ours(deck, str(work / "ours"))
+        _compare(refdir, ourdir)
