@@ -307,11 +307,13 @@ class FastEngine:
     # can reuse the algebra verbatim and inject a cross-shard carry
     # exchange between the local scan and the finish.
 
-    def rhs(self, kind: int, st: FlatState, shift1=None):
+    def rhs(self, kind: int, st: FlatState, shift1=None, kc=None):
         """Carry-independent RHS planes (r0, r1, b). `shift1` overrides the
         one-cell-downwind shift (the sharded engine patches the first cell
-        with the upstream shard's halo)."""
-        kc = self.kcs[kind]
+        with the upstream shard's halo); `kc` overrides the coefficient
+        planes (the sharded engine passes row-sharded local slices)."""
+        if kc is None:
+            kc = self.kcs[kind]
         if shift1 is None:
             shift1 = _shift1_tiled
         # Source term (correction is linear in psi, pre-scaled on host).
@@ -339,12 +341,13 @@ class FastEngine:
         b = (kc.q * r0 + kc.T0 * r1) * kc.inv_det          # (chunk,2,Bh,nc)
         return r0, r1, b
 
-    def local_scan(self, kind: int, b: jnp.ndarray):
+    def local_scan(self, kind: int, b: jnp.ndarray, kc=None):
         """Two-level scan over this device's cells (zero inflow). Returns
         (pb, pow_t, EXa, EXb, a_powN, tot_b): in-chunk prefixes, a-powers,
         exclusive cross-chunk composites, and the total composite map
         (out = a_powN * in + tot_b) of the whole local axis."""
-        kc = self.kcs[kind]
+        if kc is None:
+            kc = self.kcs[kind]
         # Level 1: in-chunk scan over t (zero init), no transposes.
         a3 = kc.a[0]                                       # (2, Bh, 1)
 
@@ -388,10 +391,12 @@ class FastEngine:
             bc_pos = self.bc_pos_fixed
         return jnp.stack([init_neg, kc.s * bc_pos], axis=0)[..., None]
 
-    def finish(self, kind: int, r0, r1, pb, pow_t, EXa, EXb, incoming):
+    def finish(self, kind: int, r0, r1, pb, pow_t, EXa, EXb, incoming,
+               kc=None):
         """Reconstruct both cell edges from the incoming carry (the value
         entering this device's first cell, (2, Bh, 1))."""
-        kc = self.kcs[kind]
+        if kc is None:
+            kc = self.kcs[kind]
         EX = EXa * incoming + EXb                          # (2, Bh, nc)
 
         # Incoming carry for (t, i): a^t * EX_i + pb[t-1, i].

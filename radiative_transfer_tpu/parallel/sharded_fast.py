@@ -1,40 +1,41 @@
-"""Multi-chip spatial decomposition of the FAST (tiled, constant-
-coefficient) engine — the production multi-chip path.
+"""Multi-chip decomposition of the FAST (tiled, constant-coefficient)
+engine — the production multi-chip path.
 
 parallel/sharded.py shards the readable general engine; this module runs
-ops/fast_sweep.py's fused sub-step inside `shard_map` so multi-chip runs
-keep the single-chip performance layout. Design (see also
-docs/ARCHITECTURE.md §4):
+ops/fast_sweep.py's fused sub-step inside `shard_map` on a 1-D or 2-D
+device mesh. Design (see also docs/ARCHITECTURE.md §4):
 
-* State planes (chunk, 2, Bh, nc) are sharded along the chunk-column
-  axis `nc` — contiguous spatial blocks per device (cell j = i*chunk+t).
+* State planes (chunk, 2, Bh, nc) shard along the chunk-column axis `nc`
+  (contiguous spatial blocks per device, cell j = i*chunk+t) and
+  optionally along the flattened (Mh·G) batch axis `Bh` — rows are fully
+  independent in the sweep, so batch/"group" sharding is embarrassingly
+  parallel (the analogue of data parallelism; the only cross-row
+  coupling is the reflective-boundary direction flip, a (Bh,)-sized
+  all_gather).
 * In the sweep-order storage frame the mu<0 half is pre-reversed, so
-  BOTH direction halves sweep k -> k+1 across shards: ONE ppermute
-  direction carries every halo and the composite exchange is uniform.
-* Per sub-step: local two-level scan (ops/fast_sweep.py::local_scan,
-  zero inflow) -> `all_gather` of the K per-shard composite affine maps
-  (2·K·(M·G) numbers) -> each shard folds its exclusive prefix and the
-  GLOBAL total (which yields the reflective mu>0 inflow from the mu<0
-  global outflow without extra communication) -> local reconstruction.
-* The CN/BDF one-cell-downwind history shift crosses shard boundaries
-  at the first local cell: a single `ppermute` of the last-cell
-  prev/half edge patches it (shard 0 keeps the zero fill — the true
-  boundary contribution is folded into the effective inflow, see
-  fast_sweep module doc).
+  BOTH direction halves sweep k -> k+1 across spatial shards: ONE
+  ppermute direction carries every halo and the composite exchange is
+  uniform.
+* Per sub-step: local two-level scan (zero inflow) -> `all_gather` of
+  the K per-shard composite affine maps over 'x' -> each shard folds its
+  exclusive prefix and the GLOBAL total (which yields the reflective
+  mu>0 inflow from the mu<0 global outflow) -> local reconstruction.
+* The CN/BDF one-cell-downwind history shift crosses spatial shard
+  boundaries at the first local cell: one `ppermute` of the last-cell
+  prev/half edge patches it (the inflow-boundary shard keeps the zero
+  fill — the true boundary contribution is folded into the effective
+  inflow, see fast_sweep module doc).
 
-Communication per sub-step: 2 ppermutes (CN) or 3 (BDF) of (2, Bh)
-values + 2 all_gathers of (K, 2, Bh) — independent of the local cell
-count, riding ICI.
-
-Group-axis sharding is not offered here (the fast layout flattens
-(Mh, G) into one batch axis); shard groups with parallel/sharded.py or
-run independent group blocks as separate calls.
+Communication per sub-step: 1-3 ppermutes of (2, Bh_local) halo values +
+2 all_gathers of (K, 2, Bh_local) composites over 'x', plus (reflective
+decks only) one (Bh,)-sized all_gather over 'g' — all independent of the
+local cell count, riding ICI.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,9 @@ from jax import shard_map
 from ..config.config import Config
 from ..ops import fast_sweep as fs
 
+_COEF_ARRAYS = ("w", "T0", "q", "inv_det", "a", "Sbase", "c1", "c0",
+                "k_ee", "k_p")
+
 
 def make_mesh_1d(n_spatial: int, devices=None) -> Mesh:
     if devices is None:
@@ -54,27 +58,84 @@ def make_mesh_1d(n_spatial: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:n_spatial]), axis_names=("x",))
 
 
+def make_mesh_2d(n_group: int, n_spatial: int, devices=None) -> Mesh:
+    """(g, x) mesh: 'x' innermost so spatial halos ride neighbouring ICI."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_group * n_spatial
+    assert len(devices) >= n
+    arr = np.asarray(devices[:n]).reshape(n_group, n_spatial)
+    return Mesh(arr, axis_names=("g", "x"))
+
+
 class ShardedFastEngine:
-    """Drop-in FastEngine running the whole time loop on a 1-D mesh."""
+    """Drop-in FastEngine running the whole time loop on a device mesh."""
 
     def __init__(self, cfg: Config, tables, mesh: Mesh,
                  dtype=jnp.float32, chunk: int = 256, unroll: int = 4,
-                 spatial_axis: str = "x"):
+                 spatial_axis: str = "x", group_axis: Optional[str] = "g"):
         self.mesh = mesh
         self.axis = spatial_axis
         self.K = mesh.shape[spatial_axis]
+        self.gaxis = (
+            group_axis
+            if group_axis is not None and group_axis in mesh.shape
+            and mesh.shape[group_axis] > 1
+            else None
+        )
+        self.NG = mesh.shape[self.gaxis] if self.gaxis else 1
         self.eng = fs.FastEngine(cfg, tables, dtype=dtype, chunk=chunk,
                                  unroll=unroll)
         assert self.eng.nc % self.K == 0, (
             f"chunk columns nc={self.eng.nc} not divisible by "
             f"{self.K} spatial shards (N={cfg.N}, chunk={self.eng.chunk})"
         )
+        assert self.eng.Bh % self.NG == 0, (
+            f"batch rows Bh={self.eng.Bh} not divisible by "
+            f"{self.NG} group shards"
+        )
         self.cfg = cfg
-        self.plane_spec = P(None, None, None, spatial_axis)
+        row_ax = self.gaxis
+        self.plane_spec = P(None, None, row_ax, spatial_axis)
+        self.coef_spec = P(None, None, row_ax, None)
+        self.bc_spec = P(row_ax)
         self.plane_sharding = NamedSharding(mesh, self.plane_spec)
         self._solve_cache: dict = {}
 
+        # Static per-kind scalars (jnp leaves travel through shard_map).
+        self._kind_static = {
+            kind: (kc.s, kc.ts) for kind, kc in self.eng.kcs.items()
+        }
+        eng = self.eng
+        self._tb = {
+            "coef": {
+                kind: {n: getattr(kc, n) for n in _COEF_ARRAYS}
+                for kind, kc in eng.kcs.items()
+            },
+            "bc_neg": eng.bc_neg,
+            "bc_pos": (
+                eng.bc_pos_fixed
+                if eng.bc_pos_fixed is not None
+                else jnp.zeros_like(eng.bc_neg)
+            ),
+        }
+        self._tb_specs = {
+            "coef": {
+                kind: {n: self.coef_spec for n in _COEF_ARRAYS}
+                for kind in eng.kcs
+            },
+            "bc_neg": self.bc_spec,
+            "bc_pos": self.bc_spec,
+        }
+        self.reflective = eng.bc_pos_fixed is None
+        if self.reflective:
+            self._refl_flip = np.asarray(eng.refl_flip)
+
     # -- sharded pieces (run inside shard_map on local blocks) ---------------
+
+    def _kc(self, kind: int, tb) -> fs.KindCoeffs:
+        s, ts = self._kind_static[kind]
+        return fs.KindCoeffs(s=s, ts=ts, **tb["coef"][kind])
 
     def _shift1(self, x: jnp.ndarray) -> jnp.ndarray:
         """One-cell-downwind shift with cross-shard halo patch."""
@@ -84,21 +145,42 @@ class ShardedFastEngine:
         halo = lax.ppermute(
             x[-1, :, :, -1], self.axis,
             [(i, i + 1) for i in range(self.K - 1)],
-        )  # (2, Bh); shard 0 receives zeros = the folded boundary fill
+        )  # (2, Bh_l); the first shard receives zeros = the folded fill
         return shifted.at[0, :, :, 0].set(halo)
 
-    def _substep(self, kind: int, st: fs.FlatState):
+    def _inflow(self, kind: int, tb, a_powN, tot_b) -> jnp.ndarray:
+        """Effective inflow per half from the GLOBAL total composite; the
+        reflective mu>0 inflow crosses row shards via a tiny all_gather."""
+        s, _ = self._kind_static[kind]
+        init_neg = s * tb["bc_neg"]                       # (Bh_l,)
+        if not self.reflective:
+            bc_pos = tb["bc_pos"]
+        else:
+            out_neg = a_powN[0, :, 0] * init_neg + tot_b[0, :, 0]
+            if self.gaxis is not None:
+                full = lax.all_gather(out_neg, self.gaxis).reshape(-1)
+                flipped = full[self._refl_flip]
+                g = lax.axis_index(self.gaxis)
+                nloc = out_neg.shape[0]
+                bc_pos = lax.dynamic_slice_in_dim(flipped, g * nloc, nloc)
+            else:
+                bc_pos = out_neg[self._refl_flip]
+        return jnp.stack([init_neg, s * bc_pos], axis=0)[..., None]
+
+    def _substep(self, kind: int, st: fs.FlatState, tb):
         eng = self.eng
-        r0, r1, b = eng.rhs(kind, st, shift1=self._shift1)
-        pb, pow_t, EXa, EXb, a_powN, tot_b = eng.local_scan(kind, b)
+        kc = self._kc(kind, tb)
+        r0, r1, b = eng.rhs(kind, st, shift1=self._shift1, kc=kc)
+        pb, pow_t, EXa, EXb, a_powN, tot_b = eng.local_scan(kind, b, kc=kc)
 
         if self.K == 1:
-            incoming = eng.inflow(kind, a_powN, tot_b)
-            return eng.finish(kind, r0, r1, pb, pow_t, EXa, EXb, incoming)
+            incoming = self._inflow(kind, tb, a_powN, tot_b)
+            return eng.finish(kind, r0, r1, pb, pow_t, EXa, EXb, incoming,
+                              kc=kc)
 
         # Composite exchange: shard order IS sweep order for both halves
         # (the mu<0 half is stored pre-reversed).
-        gA = lax.all_gather(a_powN[..., 0], self.axis)   # (K, 2, Bh)
+        gA = lax.all_gather(a_powN[..., 0], self.axis)   # (K, 2, Bh_l)
         gB = lax.all_gather(tot_b[..., 0], self.axis)
         k = lax.axis_index(self.axis)
 
@@ -112,33 +194,33 @@ class ShardedFastEngine:
             accA, accB = gA[i] * accA, gA[i] * accB + gB[i]
         # accA/accB now hold the GLOBAL total composite.
 
-        inflow = eng.inflow(kind, accA[..., None], accB[..., None])
+        inflow = self._inflow(kind, tb, accA[..., None], accB[..., None])
         incoming = exclA[..., None] * inflow + exclB[..., None]
-        return eng.finish(kind, r0, r1, pb, pow_t, EXa, EXb, incoming)
+        return eng.finish(kind, r0, r1, pb, pow_t, EXa, EXb, incoming, kc=kc)
 
-    def _step(self, st: fs.FlatState) -> fs.FlatState:
+    def _step(self, st: fs.FlatState, tb) -> fs.FlatState:
         cfg = self.cfg
         if cfg.ts_method == 1:
-            ne0, ne1 = self._substep(fs.BE, st)
+            ne0, ne1 = self._substep(fs.BE, st, tb)
             return fs.FlatState(ne0, ne1, st.e0, st.e1, st.h0, st.h1)
         if cfg.ts_method == 2:
             s1 = fs.FlatState(st.e0, st.e1, st.e0, st.e1, st.h0, st.h1)
-            ne0, ne1 = self._substep(fs.CN, s1)
+            ne0, ne1 = self._substep(fs.CN, s1, tb)
             return fs.FlatState(ne0, ne1, st.e0, st.e1, st.h0, st.h1)
         # BDF2 4-phase cycle.
         p0, p1 = st.e0, st.e1
         s1 = fs.FlatState(st.e0, st.e1, p0, p1, st.h0, st.h1)
-        b0, b1 = self._substep(fs.BE, s1)
+        b0, b1 = self._substep(fs.BE, s1, tb)
         s2 = fs.FlatState(b0, b1, p0, p1, st.h0, st.h1)
-        e0, e1 = self._substep(fs.CN, s2)
+        e0, e1 = self._substep(fs.CN, s2, tb)
         # mu>0 half snapshot = phase-0 BE output (reference quirk,
         # solver.cpp:733 vs 784-787; see ops/fast_sweep.py).
         h0 = jnp.concatenate([e0[:, :1], b0[:, 1:]], axis=1)
         h1 = jnp.concatenate([e1[:, :1], b1[:, 1:]], axis=1)
         s3 = fs.FlatState(e0, e1, p0, p1, h0, h1)
-        e0, e1 = self._substep(fs.BE, s3)
+        e0, e1 = self._substep(fs.BE, s3, tb)
         s4 = fs.FlatState(e0, e1, p0, p1, h0, h1)
-        e0, e1 = self._substep(fs.BDF, s4)
+        e0, e1 = self._substep(fs.BDF, s4, tb)
         return fs.FlatState(e0, e1, p0, p1, h0, h1)
 
     # -- public API ----------------------------------------------------------
@@ -168,11 +250,14 @@ class ShardedFastEngine:
         if run is None:
             spec = fs.FlatState(*([self.plane_spec] * 6))
 
-            def run_local(st):
-                return lax.fori_loop(0, n, lambda _, s: self._step(s), st)
+            def run_local(st, tb):
+                return lax.fori_loop(
+                    0, n, lambda _, s: self._step(s, tb), st
+                )
 
             run = jax.jit(shard_map(
-                run_local, mesh=self.mesh, in_specs=(spec,), out_specs=spec,
+                run_local, mesh=self.mesh,
+                in_specs=(spec, self._tb_specs), out_specs=spec,
             ))
             self._solve_cache[n] = run
-        return run(state)
+        return run(state, self._tb)

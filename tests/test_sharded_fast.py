@@ -82,3 +82,32 @@ def test_matches_general_sharded_trajectory(mesh8):
     ref = np.asarray(res.state.ends)
     scale = np.max(np.abs(ref))
     assert np.max(np.abs(ends - ref)) / scale < 1e-12
+
+
+@pytest.fixture(scope="module")
+def mesh2x4():
+    assert len(jax.devices()) >= 8
+    return sharded_fast.make_mesh_2d(2, 4)
+
+
+@pytest.mark.parametrize("ts_method", [1, 3])
+def test_2d_mesh_gray(mesh2x4, ts_method):
+    """(g=2, x=4) mesh: batch rows sharded too (Bh=4 with S_8 gray)."""
+    cfg = load_config(reference_deck("single_group.prm"),
+                      max_timesteps=6, N=64, M=8,
+                      psi_source=tuple((4.0931,) for _ in range(8)),
+                      ts_method=ts_method)
+    _compare(cfg, mesh2x4, 6)
+
+
+def test_2d_mesh_multigroup_reflective(mesh2x4):
+    """Group-sharded rows with a reflective left boundary: the direction
+    flip crosses row shards (the all_gather path)."""
+    cfg = load_config(reference_deck("multi_group_equilibrium.prm"),
+                      max_timesteps=5, N=64, bc_left_indicator=2)
+    _compare(cfg, mesh2x4, 5)
+
+
+def test_2d_mesh_llnl(mesh2x4):
+    cfg = load_config(reference_deck("llnl_slab_test.prm"), N=64)
+    _compare(cfg, mesh2x4, 2)
