@@ -32,6 +32,21 @@ from . import constants  # noqa: E402
 from .config.config import Config, load_config  # noqa: E402
 from .models import transport  # noqa: E402
 
+
+def __getattr__(name):
+    # Lazy heavy/optional submodules: parallel engines, plotting, utils.
+    import importlib
+
+    lazy = {
+        "parallel", "plot", "native", "ops", "utils", "data", "cli",
+    }
+    if name in lazy:
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __version__ = "0.1.0"
 
-__all__ = ["Config", "load_config", "constants", "transport", "__version__"]
+__all__ = ["Config", "load_config", "constants", "transport", "cli",
+           "data", "native", "ops", "parallel", "plot", "utils",
+           "__version__"]

@@ -1,0 +1,4 @@
+"""Host-side runtime utilities: IO, checkpointing, diagnostics,
+profiling, numeric guards."""
+
+from . import checkpoint, debug, diagnostics, io, profiling  # noqa: F401

@@ -14,6 +14,7 @@ from radiative_transfer_tpu.ops import correction as corr_mod
 from radiative_transfer_tpu.ops import planck
 from radiative_transfer_tpu.ops.groups import build_group_grid, generate_group_edges
 from radiative_transfer_tpu.ops.quadrature import gauss_legendre
+from radiative_transfer_tpu.models import transport
 
 TOL = constants.VALIDATION_TOLERANCE
 
@@ -145,3 +146,24 @@ class TestCorrection:
         assert src.shape == (cfg.M, cfg.G)
         expect = ct.B[1] + (4 * ct.B[1] - ct.dEB[1]) * mu[0] * cfg.V / constants.SPEED_OF_LIGHT
         assert src[0, 1] == pytest.approx(expect, rel=1e-13)
+
+
+class TestDkapEBZeroSum:
+    """TestPlanckian's dkapEB zero-sum identity (tests/test_planckian.cpp:
+    482-505): the energy differences of kappa*E*B telescope to exactly
+    zero across groups (the last group's G-1 edge index makes the sum
+    telescope with the first group's +edge-1 term)."""
+
+    def test_uniform_kappa(self):
+        cfg = load_config(reference_deck("multi_group_equilibrium.prm"))
+        _, _, ct = transport.build_tables(cfg)
+        s = float(np.sum(ct.dkapEB))
+        sabs = float(np.sum(np.abs(ct.dkapEB)))
+        assert abs(s) / max(sabs, 1e-300) < 1e-12
+
+    def test_llnl_tabulated_kappa(self):
+        cfg = load_config(reference_deck("llnl_slab_test.prm"))
+        _, _, ct = transport.build_tables(cfg)
+        s = float(np.sum(ct.dkapEB))
+        sabs = float(np.sum(np.abs(ct.dkapEB)))
+        assert abs(s) / max(sabs, 1e-300) < 1e-10
