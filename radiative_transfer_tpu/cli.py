@@ -91,6 +91,10 @@ def main(argv=None) -> int:
                          "write them as CSVs to --outdir")
     ap.add_argument("--trace", default=None, metavar="LOGDIR",
                     help="write a jax.profiler device trace to LOGDIR")
+    ap.add_argument("--balance-every", type=int, default=None, metavar="K",
+                    help="run in K-step chunks, printing the per-group "
+                         "balance diagnostic and step metrics after each "
+                         "(general engine)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -208,11 +212,63 @@ def _run(args, cfg, dtype):
             left_ends=le, right_ends=re_, state=state,
         )
         e_ave = np.asarray(grid.e_ave)
+    elif args.balance_every:
+        result, e_ave = _run_with_balance(args, cfg, dtype)
     else:
         result = transport.run_problem(cfg, dtype=dtype)
         _, grid, _ = transport.build_tables(cfg, dtype=dtype)
         e_ave = np.asarray(grid.e_ave)
     return result, e_ave
+
+
+def _run_with_balance(args, cfg, dtype):
+    """Chunked solve streaming the balance diagnostic + step metrics
+    (the reference prints balance only at the end, solver.cpp:275-282;
+    here it doubles as a live convergence/health monitor)."""
+    import functools
+    import time as time_mod
+
+    import jax
+    from jax import lax
+
+    from .models import transport
+    from .utils.profiling import StepMetrics, updates_per_step
+
+    tables, grid, ct = transport.build_tables(cfg, dtype=dtype)
+    if cfg.include_validation:
+        assert transport.validate_tables(cfg, ct), "Invalid Correction Terms"
+    state = transport.initial_state(cfg, tables, dtype=dtype)
+    step = transport.make_step_fn(cfg, tables)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run_chunk(s, n):
+        return lax.fori_loop(0, n, lambda _, x: step(x), s)
+
+    metrics = StepMetrics(updates_per_step=updates_per_step(cfg))
+    done, total, every = 0, cfg.max_timesteps, args.balance_every
+    while done < total:
+        n = min(every, total - done)
+        t0 = time_mod.perf_counter()
+        state = jax.block_until_ready(run_chunk(state, n))
+        metrics.add(n, time_mod.perf_counter() - t0)
+        done += n
+        psi = transport.psi_from_ends(state.ends)
+        phi = transport.compute_phi(psi, tables.wt)
+        bal = np.asarray(transport.compute_balance(cfg, tables, state.ends, phi))
+        print(f"step {done:>6d}: balance max={bal.max():.3e} "
+              f"mean={bal.mean():.3e}   [{metrics.summary()}]")
+
+    psi = transport.psi_from_ends(state.ends)
+    phi = transport.compute_phi(psi, tables.wt)
+    le, re_ = transport.compute_group_ends(cfg, tables, state.ends)
+    result = transport.SolveResult(
+        psi=psi, phi=phi,
+        phi_plus=transport.compute_phi_plus(psi, tables.wt),
+        F=transport.compute_F(psi, tables.mu, tables.wt),
+        balance=transport.compute_balance(cfg, tables, state.ends, phi),
+        left_ends=le, right_ends=re_, state=state,
+    )
+    return result, np.asarray(grid.e_ave)
 
 
 if __name__ == "__main__":

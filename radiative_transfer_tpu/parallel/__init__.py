@@ -1,3 +1,3 @@
 """Multi-chip engines: general (sharded) and fast (sharded_fast)."""
 
-from . import sharded, sharded_fast  # noqa: F401
+from . import distributed, sharded, sharded_fast  # noqa: F401

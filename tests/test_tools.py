@@ -80,3 +80,39 @@ def test_plot_cli_roundtrip(tmp_path):
     assert len(made) == 5
     for p in made:
         assert os.path.getsize(p) > 0
+
+
+def test_reference_plot_scripts_consume_our_csvs(tmp_path):
+    """The reference's own scripts/plot_results.py must run unmodified on
+    our CSV output (it hardcodes ../build/ relative paths, so recreate
+    that layout and execute it as-is from a scripts/ dir)."""
+    import shutil
+    import subprocess
+
+    import jax.numpy as jnp
+
+    from radiative_transfer_tpu.models import transport
+    from radiative_transfer_tpu.utils import io as io_mod
+
+    script_src = "/root/reference/scripts/plot_results.py"
+    if not os.path.exists(script_src):
+        pytest.skip("reference scripts not mounted")
+
+    cfg = load_config(os.path.join(OWN_PRM, "default.prm"), max_timesteps=3)
+    result = transport.run_problem(cfg, dtype=jnp.float64)
+    _, grid, _ = transport.build_tables(cfg)
+    x = (np.arange(cfg.N) + 0.5) * cfg.dx
+    build = tmp_path / "build"
+    scripts = tmp_path / "scripts"
+    scripts.mkdir()
+    io_mod.write_solution_csvs(str(build), result, x, grid.e_ave)
+    shutil.copy(script_src, scripts)
+
+    env = dict(os.environ, MPLBACKEND="Agg")
+    res = subprocess.run(
+        ["python", "plot_results.py"], cwd=str(scripts), env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    for png in ("F.png", "phi.png", "phi_plus.png", "psi.png", "ends.png"):
+        assert (scripts / png).exists(), png
