@@ -204,6 +204,61 @@ def _make_kernel(kind: int, *, Bh: int, blk: int, Mh: int, G: int,
     return kernel
 
 
+def _make_multistep_kernel(kind: int, *, Bh: int, blk: int,
+                           reflective: bool, s: float, K: int):
+    """K whole BE or CN timesteps per launch (the BDF2 analogue lives in
+    _make_bdf2_kernel). Per step: prev_ends is the step's input (committed
+    every step, solver.cpp:620-625), so only the final ends + prev planes
+    touch HBM — 4/K plane-passes per step. Same in-order (half, block)
+    grid argument as the BDF2 multi-step kernel."""
+    assert kind in (BE, CN)
+
+    def kernel(coef_ref, bc_ref, perm_ref, e0r, e1r,
+               o0r, o1r, op0r, op1r, *scratch):
+        assert len(scratch) == 2 * K
+        carries = scratch[:K]
+        etails = scratch[K: 2 * K]
+        h = pl.program_id(0)
+        i = pl.program_id(1)
+        kc = _unpack_coef(coef_ref)
+
+        @pl.when(jnp.logical_and(h == 0, i == 0))
+        def _():
+            for k in range(K):
+                carries[k][:] = s * bc_ref[0]
+                etails[k][:] = jnp.zeros_like(etails[k])
+
+        @pl.when(jnp.logical_and(h == 1, i == 0))
+        def _():
+            for k in range(K):
+                if reflective:
+                    carries[k][:] = s * jnp.dot(
+                        perm_ref[:], carries[k][:],
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    carries[k][:] = s * bc_ref[0]
+                etails[k][:] = jnp.zeros_like(etails[k])
+
+        col = lax.broadcasted_iota(jnp.int32, (Bh, blk), 1)
+        e0, e1 = e0r[0], e1r[0]
+        for k in range(K):
+            et_prev = etails[k][:]
+            zt = jnp.zeros_like(et_prev)
+            # prev = this step's input ends (both kinds commit per step).
+            f0, f1 = _substep_block(kind, kc, col, blk,
+                                    e0, e1, e0, e1, e0, e1, carries[k],
+                                    et_prev, zt)
+            etails[k][:] = e1[:, -1:]
+            if k == K - 1:
+                op0r[0], op1r[0] = e0, e1
+            e0, e1 = f0, f1
+
+        o0r[0], o1r[0] = e0, e1
+
+    return kernel
+
+
 def _make_bdf2_kernel(*, Bh: int, blk: int, Mh: int, G: int,
                       reflective: bool, s_be: float, s_cn: float,
                       s_bdf: float, K: int = 1):
@@ -376,6 +431,7 @@ class PallasEngine:
         }
         self._calls = {kind: self._build_call(kind) for kind in self.coef}
         self._bdf2_calls: dict = {}
+        self._multi_calls: dict = {}
         if cfg.ts_method == 3:
             self._bdf2_calls[1] = self._build_bdf2_call(1)
 
@@ -490,11 +546,50 @@ class PallasEngine:
         # BDF2: the whole 4-phase cycle in one fused kernel launch.
         return self.multi_step(st, 1)
 
+    def _build_multistep_call(self, kind: int, K: int):
+        Bh, blk, nb = self.Bh, self.block, self.nblocks
+        N = self.cfg.N
+
+        plane_spec = pl.BlockSpec(
+            (1, Bh, blk), lambda h, i: (h, h * 0, i), memory_space=pltpu.VMEM
+        )
+        coef_spec = pl.BlockSpec(
+            (1, Bh, _NCOEF), lambda h, i: (h, h * 0, h * 0),
+            memory_space=pltpu.VMEM,
+        )
+        bc_spec = pl.BlockSpec(
+            (1, Bh, 1), lambda h, i: (h, h * 0, h * 0), memory_space=pltpu.VMEM
+        )
+        perm_spec = pl.BlockSpec(
+            (Bh, Bh), lambda h, i: (h * 0, h * 0), memory_space=pltpu.VMEM
+        )
+        kernel = _make_multistep_kernel(
+            kind, Bh=Bh, blk=blk, reflective=self.reflective,
+            s=float(self._fe.kcs[kind].s), K=K,
+        )
+        plane = jax.ShapeDtypeStruct((2, Bh, N), jnp.float32)
+        return pl.pallas_call(
+            kernel,
+            grid=(2, nb),
+            in_specs=[coef_spec, bc_spec, perm_spec, plane_spec, plane_spec],
+            out_specs=(plane_spec,) * 4,
+            out_shape=(plane,) * 4,
+            scratch_shapes=[pltpu.VMEM((Bh, 1), jnp.float32)] * (2 * K),
+            interpret=self.interpret,
+        )
+
     def max_steps_per_launch(self) -> int:
         """Largest K the fused multi-step kernel compiles with (empirical
-        scoped-VMEM boundary on v5e: Bh*block <= 2^16 elements admits K=8,
-        <= 2^17 admits K=2, above that single steps only)."""
+        scoped-VMEM boundaries on v5e). BDF2 keeps ~8 planes live;
+        Bh*block <= 2^16 elements admits K=8, <= 2^17 admits K=2, above
+        that single steps only. BE/CN keep only 4 planes live and admit
+        K=16 (measured fastest: BE 26.4G, CN 22.1G sub-updates/s at
+        Bh=16, block=8192)."""
         p = self.Bh * self.block
+        if self.cfg.ts_method in (1, 2):
+            if self.Bh <= 64:
+                return 16
+            return 2
         if p <= (1 << 16):
             return 8
         if p <= (1 << 17) and self.Bh <= 64:
@@ -502,10 +597,19 @@ class PallasEngine:
         return 1
 
     def multi_step(self, st: fs.FlatState, K: int) -> fs.FlatState:
-        """K whole BDF2 timesteps in ONE kernel launch (intermediate steps'
-        planes never touch HBM — 6/K plane-passes per step). Identical
-        trajectory to K calls of step(); requires ts_method == 3."""
-        assert self.cfg.ts_method == 3
+        """K whole timesteps in ONE kernel launch (intermediate steps'
+        planes never touch HBM — 6/K plane-passes per step for BDF2,
+        4/K for BE/CN). Identical trajectory to K calls of step()."""
+        if self.cfg.ts_method in (1, 2):
+            kind = BE if self.cfg.ts_method == 1 else CN
+            call = self._multi_calls.get((kind, K))
+            if call is None:
+                call = self._build_multistep_call(kind, K)
+                self._multi_calls[(kind, K)] = call
+            ne0, ne1, np0, np1 = call(
+                self.coef[kind], self.bc, self.refl_P, st.e0, st.e1
+            )
+            return fs.FlatState(ne0, ne1, np0, np1, st.h0, st.h1)
         call = self._bdf2_calls.get(K)
         if call is None:
             call = self._build_bdf2_call(K)
@@ -552,12 +656,6 @@ class PallasEngine:
         n = self.cfg.max_timesteps if num_steps is None else num_steps
         if state is None:
             state = self.init_state()
-        if self.cfg.ts_method != 3:
-            @jax.jit
-            def run(st):
-                return lax.fori_loop(0, n, lambda _, s: self.step(s), st)
-
-            return run(state)
 
         K = steps_per_launch or min(self.max_steps_per_launch(), max(n, 1))
         body, tail = divmod(n, K)

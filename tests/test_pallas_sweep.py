@@ -107,3 +107,26 @@ def test_multi_step_fusion_matches_single_steps():
     np.testing.assert_array_equal(
         np.asarray(st_solve.e0), np.asarray(st_loop.e0)
     )
+
+
+@pytest.mark.parametrize("ts_method", [1, 2])
+def test_multi_step_fusion_be_cn(ts_method):
+    """K fused BE/CN timesteps per launch == K separate step() calls."""
+    cfg = load_config(conftest.reference_deck("single_group.prm"),
+                      max_timesteps=6, N=64, ts_method=ts_method)
+    tables, _, _ = transport.build_tables(cfg)
+    eng = pallas_sweep.PallasEngine(cfg, tables, block=16)
+
+    st_loop = eng.init_state()
+    for _ in range(6):
+        st_loop = eng.step(st_loop)
+    st_fused = eng.multi_step(eng.init_state(), 6)
+    np.testing.assert_array_equal(
+        np.asarray(st_fused.e0), np.asarray(st_loop.e0)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_fused.e1), np.asarray(st_loop.e1)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_fused.p1), np.asarray(st_loop.p1)
+    )
