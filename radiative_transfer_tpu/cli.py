@@ -170,7 +170,17 @@ def _run(args, cfg, dtype):
             from .ops.fast_sweep import FastEngine
 
             eng = FastEngine(cfg, tables, dtype=dtype)
-        fst = eng.solve()
+        if args.checkpoint_dir:
+            from .utils import checkpoint as ckpt_mod
+
+            fst, resumed = ckpt_mod.solve_with_checkpoints_engine(
+                eng, cfg, args.checkpoint_dir, every=args.checkpoint_every,
+                resume=not args.no_resume,
+            )
+            if resumed:
+                print(f"resumed from step {resumed}")
+        else:
+            fst = eng.solve()
         ends = eng.ends(fst)
         psi = transport.psi_from_ends(ends)
         result = transport.SolveResult(

@@ -143,3 +143,46 @@ def solve_with_checkpoints(
         done += n
         save_checkpoint(ckpt_dir, state, done, cfg)
     return state, start
+
+
+def solve_with_checkpoints_engine(
+    eng,
+    cfg: Config,
+    ckpt_dir: str,
+    every: int,
+    resume: bool = True,
+    num_steps: Optional[int] = None,
+):
+    """Checkpointed solve for the FAST/Pallas engines (any engine exposing
+    init_state/solve/ends_pair/from_ends). Checkpoints store the same
+    portable global (M, G, N, 2) arrays as the general engine — the tiled
+    engine layout is converted at chunk boundaries, so a run checkpointed
+    by one engine can resume under another (or under the general solver).
+
+    Note: engines may run reduced precision (float32); the checkpoint
+    stores their arrays as float64 containers without adding information.
+    """
+    total = cfg.max_timesteps if num_steps is None else num_steps
+    start = 0
+    state = None
+    if resume:
+        latest = latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            gstate, start = load_checkpoint(latest, cfg)
+            state = eng.from_ends(gstate.ends, gstate.prev_ends,
+                                  gstate.half_ends)
+    if state is None:
+        state = eng.init_state()
+
+    done = start
+    while done < total:
+        n = min(every, total - done)
+        state = eng.solve(state, num_steps=n)
+        done += n
+        gstate = State(
+            ends=np.asarray(eng.ends_pair(state.e0, state.e1), np.float64),
+            prev_ends=np.asarray(eng.ends_pair(state.p0, state.p1), np.float64),
+            half_ends=np.asarray(eng.ends_pair(state.h0, state.h1), np.float64),
+        )
+        save_checkpoint(ckpt_dir, gstate, done, cfg)
+    return state, start

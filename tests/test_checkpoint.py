@@ -85,3 +85,44 @@ def test_cli_checkpoint_resume(tmp_path):
         with open(os.path.join(out1, name), "rb") as f1, \
              open(os.path.join(out2, name), "rb") as f2:
             assert f1.read() == f2.read(), name
+
+
+def test_engine_checkpoint_resume_fast(tmp_path):
+    """Fast-engine checkpointing: resume matches uninterrupted, and the
+    checkpoints are portable to the general solver's State format."""
+    import jax.numpy as jnp
+
+    from radiative_transfer_tpu.ops import fast_sweep
+
+    cfg = load_config(reference_deck("single_group.prm"), max_timesteps=8)
+    tables, _, _ = transport.build_tables(cfg)
+    eng = fast_sweep.FastEngine(cfg, tables, dtype=jnp.float64, chunk=10)
+
+    straight = eng.solve(num_steps=8)
+
+    ck.solve_with_checkpoints_engine(
+        eng, cfg, str(tmp_path), every=3, num_steps=5
+    )
+    final, resumed = ck.solve_with_checkpoints_engine(
+        eng, cfg, str(tmp_path), every=3, num_steps=8
+    )
+    assert resumed == 5
+    np.testing.assert_allclose(
+        np.asarray(eng.ends(final)), np.asarray(eng.ends(straight)),
+        rtol=0, atol=1e-13,
+    )
+    # portability: the stored State loads under the general-path format
+    gstate, step = ck.load_checkpoint(ck.latest_checkpoint(str(tmp_path)), cfg)
+    assert step == 8 and gstate.ends.shape == (cfg.M, cfg.G, cfg.N, 2)
+
+
+def test_cli_checkpoint_fast_engine(tmp_path):
+    from radiative_transfer_tpu import cli
+
+    deck = reference_deck("single_group.prm")
+    out = str(tmp_path / "o")
+    assert cli.main([deck, "--steps", "4", "--outdir", out,
+                     "--engine", "fast",
+                     "--checkpoint-dir", str(tmp_path / "ck"),
+                     "--checkpoint-every", "2"]) == 0
+    assert ck.latest_checkpoint(str(tmp_path / "ck")).endswith("04.npz")
