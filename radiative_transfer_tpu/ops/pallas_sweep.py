@@ -400,6 +400,12 @@ class PallasEngine:
         # fits).
         while self.Bh * self.block > (1 << 17) and self.block > 128:
             self.block //= 2
+        # BDF2 prefers the K=8 fusion regime (Bh*block <= 2^16) when the
+        # block stays large enough to amortise the scan: measured 34.5G at
+        # (Bh=16, block=4096, K=8) vs 32.4G at (block=8192, K=2).
+        if (cfg.ts_method == 3 and self.Bh * self.block > (1 << 16)
+                and self.block >= 8192):
+            self.block //= 2
         self.nblocks = cfg.N // self.block
         if interpret is None:
             # Mosaic-compile on any real TPU backend (including tunnelled
