@@ -59,10 +59,18 @@ char* rtio_parse_deck(const char* path) {
       c = std::fgetc(fh);
       if (c == EOF) { eof = true; break; }
       if (c == '\n') break;
+      if (c == '\r') {
+        // Universal newlines like the Python loader: a lone '\r' ends
+        // the line; a following '\n' is part of the same terminator.
+        const int nxt = std::fgetc(fh);
+        if (nxt != '\n' && nxt != EOF) std::ungetc(nxt, fh);
+        if (nxt == EOF) eof = true;
+        break;
+      }
       line.push_back(static_cast<char>(c));
     }
     if (eof && line.empty()) break;
-    // Strip a trailing '\r' (CRLF decks), as the Python loader does.
+    // (CRLF already consumed above; nothing to strip.)
     if (!line.empty() && line.back() == '\r') line.pop_back();
     if (!line.empty() && line[0] == '#') continue;
     const std::size_t idx = line.find('=');
@@ -105,6 +113,12 @@ double* rtio_read_table(const char* path, int64_t* n) {
       tok.push_back(static_cast<char>(c));
     } while ((c = std::fgetc(fh)) != EOF && !std::isspace(c));
     if (c == EOF) eof = true;
+    // strtod accepts C99 hex floats ("0x1C"), which neither the
+    // reference's stream >> double nor the Python fallback's float()
+    // accept — reject them so all three backends stop identically.
+    if (tok.find('x') != std::string::npos ||
+        tok.find('X') != std::string::npos)
+      break;
     char* end = nullptr;
     const double v = std::strtod(tok.c_str(), &end);
     if (end != tok.c_str() + tok.size()) break;  // stream >> double stops

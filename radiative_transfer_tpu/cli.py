@@ -128,16 +128,16 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     with profiler_trace(args.trace):
-        result, e_ave = _run(args, cfg, dtype)
+        result, e_ave, steps_run = _run(args, cfg, dtype)
     wall = time.perf_counter() - t0
 
-    steps = cfg.max_timesteps
     from .utils.profiling import updates_per_step
 
     if args.profile:
-        ups = updates_per_step(cfg) * steps
-        print(f"wall: {wall:.3f} s for {steps} steps "
-              f"({wall / max(steps, 1) * 1e3:.2f} ms/step, "
+        # steps_run excludes any checkpoint-resumed prefix.
+        ups = updates_per_step(cfg) * steps_run
+        print(f"wall: {wall:.3f} s for {steps_run} steps "
+              f"({wall / max(steps_run, 1) * 1e3:.2f} ms/step, "
               f"{ups / wall / 1e6:.1f} M updates/s)")
 
     # Balance diagnostic (printed, not asserted — solver.cpp:275-282).
@@ -152,7 +152,8 @@ def main(argv=None) -> int:
 
 
 def _run(args, cfg, dtype):
-    """Dispatch to the selected engine; returns (SolveResult, e_ave)."""
+    """Dispatch to the selected engine; returns (SolveResult, e_ave,
+    steps_actually_run_this_process)."""
     import jax.numpy as jnp
 
     from .models import transport
@@ -177,10 +178,12 @@ def _run(args, cfg, dtype):
                 eng, cfg, args.checkpoint_dir, every=args.checkpoint_every,
                 resume=not args.no_resume,
             )
+            steps_run = cfg.max_timesteps - resumed
             if resumed:
                 print(f"resumed from step {resumed}")
         else:
             fst = eng.solve()
+            steps_run = cfg.max_timesteps
         ends = eng.ends(fst)
         psi = transport.psi_from_ends(ends)
         result = transport.SolveResult(
@@ -209,6 +212,7 @@ def _run(args, cfg, dtype):
             cfg, tables, state, args.checkpoint_dir,
             every=args.checkpoint_every, resume=not args.no_resume,
         )
+        steps_run = cfg.max_timesteps - resumed
         if resumed:
             print(f"resumed from step {resumed}")
         psi = transport.psi_from_ends(state.ends)
@@ -224,11 +228,13 @@ def _run(args, cfg, dtype):
         e_ave = np.asarray(grid.e_ave)
     elif args.balance_every:
         result, e_ave = _run_with_balance(args, cfg, dtype)
+        steps_run = cfg.max_timesteps
     else:
         result = transport.run_problem(cfg, dtype=dtype)
         _, grid, _ = transport.build_tables(cfg, dtype=dtype)
         e_ave = np.asarray(grid.e_ave)
-    return result, e_ave
+        steps_run = cfg.max_timesteps
+    return result, e_ave, steps_run
 
 
 def _run_with_balance(args, cfg, dtype):

@@ -91,6 +91,11 @@ def _read_table(path: str, prefer_native: bool = True) -> np.ndarray:
     values = []
     with open(path, "r") as fh:
         for tok in fh.read().split():
+            # Python's float() accepts digit-group underscores ("1_000")
+            # which `stream >> double` (and strtod) do not — reject them
+            # so the Python and native backends stop identically.
+            if "_" in tok:
+                break
             try:
                 values.append(float(tok))
             except ValueError:

@@ -452,10 +452,19 @@ class FastEngine:
         if state is None:
             state = self.init_state()
 
-        @jax.jit
-        def run(st):
-            return lax.fori_loop(0, n, lambda _, s: self.step(s), st)
+        # Cache the jitted runner per step count: a fresh jit closure per
+        # call would recompile the identical program every chunk of a
+        # checkpointed solve.
+        cache = getattr(self, "_solve_cache", None)
+        if cache is None:
+            cache = self._solve_cache = {}
+        run = cache.get(n)
+        if run is None:
+            @jax.jit
+            def run(st):
+                return lax.fori_loop(0, n, lambda _, s: self.step(s), st)
 
+            cache[n] = run
         return run(state)
 
 

@@ -666,14 +666,20 @@ class PallasEngine:
         K = steps_per_launch or min(self.max_steps_per_launch(), max(n, 1))
         body, tail = divmod(n, K)
 
-        @jax.jit
-        def run(st):
-            if body:
-                st = lax.fori_loop(
-                    0, body, lambda _, s: self.multi_step(s, K), st
-                )
-            if tail:
-                st = self.multi_step(st, tail)
-            return st
+        cache = getattr(self, "_solve_runs", None)
+        if cache is None:
+            cache = self._solve_runs = {}
+        run = cache.get((body, tail, K))
+        if run is None:
+            @jax.jit
+            def run(st):
+                if body:
+                    st = lax.fori_loop(
+                        0, body, lambda _, s: self.multi_step(s, K), st
+                    )
+                if tail:
+                    st = self.multi_step(st, tail)
+                return st
 
+            cache[(body, tail, K)] = run
         return run(state)

@@ -41,12 +41,12 @@ def initialize(
     Returns a summary dict {process_index, process_count, local_devices,
     global_devices}.
     """
+    # IMPORTANT: nothing here may touch the XLA backend (jax.devices(),
+    # jax.default_backend(), ...) before jax.distributed.initialize —
+    # backend instantiation makes distributed init impossible.
     already = getattr(jax.distributed, "global_state", None)
     needs_init = not (already is not None and already.client is not None)
-    if needs_init and (
-        coordinator_address is not None or num_processes is not None
-        or jax.default_backend() in ("tpu",)
-    ):
+    if needs_init:
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
@@ -54,7 +54,10 @@ def initialize(
                 process_id=process_id,
             )
         except (RuntimeError, ValueError):
-            pass  # single-process run or already initialized
+            # Single-process run (no coordinator discoverable), already
+            # initialized, or a backend was already created. Multi-host
+            # jobs detect silent failure via assert_mesh_spans_hosts.
+            pass
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

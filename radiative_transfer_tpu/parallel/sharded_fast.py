@@ -233,6 +233,10 @@ class ShardedFastEngine:
     def ends(self, st: fs.FlatState) -> jnp.ndarray:
         return self.eng.ends(st)
 
+    def ends_pair(self, x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
+        """Tiled edge planes -> global (M, G, N, 2) (checkpoint adapter)."""
+        return self.eng.ends_pair(x0, x1)
+
     def from_ends(self, ends, prev, half) -> fs.FlatState:
         st = self.eng.from_ends(ends, prev, half)
         put = functools.partial(jax.device_put, device=self.plane_sharding)

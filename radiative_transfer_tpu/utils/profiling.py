@@ -75,11 +75,12 @@ def trace(logdir: Optional[str]):
 
 def measure_solve(run, state, repeats: int = 3):
     """Best-of-N wall-clock of `run(state)` with compile/warm-up excluded.
-    Returns (result, best_seconds)."""
+    Every timed repeat runs from the SAME input, so the returned result is
+    exactly one application of `run`. Returns (result, best_seconds)."""
     out = jax.block_until_ready(run(state))  # compile + warm-up
     best = float("inf")
     for _ in range(max(repeats, 1)):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(run(out))
+        out = jax.block_until_ready(run(state))
         best = min(best, time.perf_counter() - t0)
     return out, best

@@ -124,3 +124,27 @@ def test_load_config_same_through_both_backends(monkeypatch):
     b = config_mod.load_config(deck)
     for f in dataclasses.fields(a):
         assert getattr(a, f.name) == getattr(b, f.name), f.name
+
+
+def test_tokenizer_edge_cases_agree(tmp_path):
+    """Hex floats, underscore digit groups, and lone-CR line endings must
+    behave identically across backends (and like the reference's
+    stream >> double)."""
+    t = tmp_path / "edge.txt"
+    t.write_text("1.5 0x1C 7\n")
+    a = native.read_table(str(t))
+    b = config_mod._read_table(str(t), prefer_native=False)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, [1.5])
+
+    t.write_text("2.5 1_000 9\n")
+    a = native.read_table(str(t))
+    b = config_mod._read_table(str(t), prefer_native=False)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, [2.5])
+
+    d = tmp_path / "cr.prm"
+    d.write_bytes(b"a=1\rb=2\r\nc=3\n")
+    py = config_mod.PrmFile(str(d), prefer_native=False).params
+    nat = native.parse_deck_dict(str(d))
+    assert nat == py == {"a": "1", "b": "2", "c": "3"}
