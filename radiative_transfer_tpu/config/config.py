@@ -154,6 +154,43 @@ class Config:
     max_timesteps: int = 1000
     include_validation: bool = True
 
+    def __post_init__(self):
+        # Fail fast with clear messages (the reference scatters these as
+        # asserts and exit(1)s: GLQuad.h:20-21, ParameterHandler.cpp:146-149).
+        if self.M <= 0 or self.M % 2 != 0:
+            raise ValueError(f"M must be a positive even number, got {self.M}")
+        if self.G <= 0:
+            raise ValueError(f"G must be positive, got {self.G}")
+        if self.N <= 0:
+            raise ValueError(f"N must be positive, got {self.N}")
+        if self.X <= 0:
+            raise ValueError(f"X must be positive, got {self.X}")
+        if self.dt <= 0:
+            raise ValueError(f"dt must be positive, got {self.dt}")
+        if self.ts_method not in (1, 2, 3):
+            raise ValueError(
+                f"ts_method must be 1 (BE), 2 (CN) or 3 (BDF2), got "
+                f"{self.ts_method}"
+            )
+        for name in ("bc_left_indicator", "bc_right_indicator"):
+            v = getattr(self, name)
+            if v not in (0, 1, 2):
+                raise ValueError(
+                    f"{name} must be 0 (vacuum), 1 (source) or 2 "
+                    f"(reflective), got {v}"
+                )
+        if self.have_group_bounds and len(self.group_bounds) != self.G + 1:
+            raise ValueError(
+                f"group_bounds needs G+1={self.G + 1} entries, got "
+                f"{len(self.group_bounds)}"
+            )
+        if (self.have_group_absorption_opacities
+                and len(self.group_kappa) != self.G):
+            raise ValueError(
+                f"group_kappa needs G={self.G} entries, got "
+                f"{len(self.group_kappa)}"
+            )
+
     @property
     def dx(self) -> float:
         return self.X / self.N
