@@ -153,6 +153,12 @@ class Config:
     dt: float = 1.0e-5            # timestep (shakes)
     max_timesteps: int = 1000
     include_validation: bool = True
+    # Reference-parity quirk toggle (not a reference deck key): the
+    # reference's BDF2 phase-1 half_ends snapshot copies only in the mu<0
+    # branch (solver.cpp:733), so the mu>0 half keeps the BE-predictor
+    # output. False (default) replicates that; True uses the CN output
+    # for BOTH halves — the symmetric scheme the code appears to intend.
+    bdf2_symmetric_half: bool = False
 
     def __post_init__(self):
         # Fail fast with clear messages (the reference scatters these as

@@ -272,7 +272,10 @@ def make_step_fn(cfg: Config, tables: Tables):
             # replicated (verified against the reference binary).
             e2 = sub(sweep_mod.CN, ends=e1, prev_ends=prev,
                      half_ends=state.half_ends, ts=half_dt)
-            half = jnp.concatenate([e2[:Mh], e1[Mh:]], axis=0)
+            if cfg.bdf2_symmetric_half:
+                half = e2  # corrected symmetric snapshot (opt-in)
+            else:
+                half = jnp.concatenate([e2[:Mh], e1[Mh:]], axis=0)
             # Phase 2: second BE(dt/2) predictor.
             e3 = sub(sweep_mod.BE, ends=e2, prev_ends=prev,
                      half_ends=half, ts=half_dt)

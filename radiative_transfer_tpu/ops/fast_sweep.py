@@ -437,9 +437,13 @@ class FastEngine:
         e0, e1 = self.substep(CN, s2)
         # Snapshot half: plane axis 1 is [mu<0, mu>0]; the mu>0 half keeps
         # the phase-0 BE output (reference quirk — the half_ends copy sits
-        # only in the mu<0 branch, solver.cpp:733 vs 784-787).
-        h0 = jnp.concatenate([e0[:, :1], b0[:, 1:]], axis=1)
-        h1 = jnp.concatenate([e1[:, :1], b1[:, 1:]], axis=1)
+        # only in the mu<0 branch, solver.cpp:733 vs 784-787) unless the
+        # corrected symmetric scheme is requested.
+        if cfg.bdf2_symmetric_half:
+            h0, h1 = e0, e1
+        else:
+            h0 = jnp.concatenate([e0[:, :1], b0[:, 1:]], axis=1)
+            h1 = jnp.concatenate([e1[:, :1], b1[:, 1:]], axis=1)
         s3 = FlatState(e0, e1, p0, p1, h0, h1)
         e0, e1 = self.substep(BE, s3)
         s4 = FlatState(e0, e1, p0, p1, h0, h1)

@@ -261,7 +261,8 @@ def _make_multistep_kernel(kind: int, *, Bh: int, blk: int,
 
 def _make_bdf2_kernel(*, Bh: int, blk: int, Mh: int, G: int,
                       reflective: bool, s_be: float, s_cn: float,
-                      s_bdf: float, K: int = 1):
+                      s_bdf: float, K: int = 1,
+                      symmetric_half: bool = False):
     """ONE kernel for K whole BDF2 4-phase timesteps.
 
     The sub-steps couple only (a) cell-locally within a block, (b) through
@@ -350,8 +351,11 @@ def _make_bdf2_kernel(*, Bh: int, blk: int, Mh: int, G: int,
             hc0, hc1 = _substep_block(CN, kcn, col, blk,
                                       b0, b1, e0, e1, e0, e1, ccn,
                                       et_prev, zt)
-            hs0 = jnp.where(is_neg, hc0, b0)
-            hs1 = jnp.where(is_neg, hc1, b1)
+            if symmetric_half:
+                hs0, hs1 = hc0, hc1
+            else:
+                hs0 = jnp.where(is_neg, hc0, b0)
+                hs1 = jnp.where(is_neg, hc1, b1)
             # Phase 2: second BE(dt/2) predictor.
             d0, d1 = _substep_block(BE, kbe, col, blk,
                                     hc0, hc1, e0, e1, hs0, hs1, cbe2, zt, zt)
@@ -514,6 +518,7 @@ class PallasEngine:
             s_cn=float(self._fe.kcs[CN].s),
             s_bdf=float(self._fe.kcs[BDF].s),
             K=K,
+            symmetric_half=self.cfg.bdf2_symmetric_half,
         )
 
         plane = jax.ShapeDtypeStruct((2, Bh, N), jnp.float32)

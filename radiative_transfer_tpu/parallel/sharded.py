@@ -291,7 +291,10 @@ def make_sharded_solve(
                      ts=half_dt, **kw)
             # mu>0 half snapshot = phase-0 BE output (reference quirk,
             # solver.cpp:733 vs 784-787; see models/transport.py).
-            half = jnp.concatenate([e2[:Mh], e1[Mh:]], axis=0)
+            if cfg.bdf2_symmetric_half:
+                half = e2
+            else:
+                half = jnp.concatenate([e2[:Mh], e1[Mh:]], axis=0)
             e3 = sub(sweep_mod.BE, e2, prev, half, ts=half_dt, **kw)
             e4 = sub(sweep_mod.BDF, e3, prev, half, ts=half_dt, **kw)
             return transport.State(e4, prev, half)

@@ -215,8 +215,11 @@ class ShardedFastEngine:
         e0, e1 = self._substep(fs.CN, s2, tb)
         # mu>0 half snapshot = phase-0 BE output (reference quirk,
         # solver.cpp:733 vs 784-787; see ops/fast_sweep.py).
-        h0 = jnp.concatenate([e0[:, :1], b0[:, 1:]], axis=1)
-        h1 = jnp.concatenate([e1[:, :1], b1[:, 1:]], axis=1)
+        if cfg.bdf2_symmetric_half:
+            h0, h1 = e0, e1
+        else:
+            h0 = jnp.concatenate([e0[:, :1], b0[:, 1:]], axis=1)
+            h1 = jnp.concatenate([e1[:, :1], b1[:, 1:]], axis=1)
         s3 = fs.FlatState(e0, e1, p0, p1, h0, h1)
         e0, e1 = self._substep(fs.BE, s3, tb)
         s4 = fs.FlatState(e0, e1, p0, p1, h0, h1)

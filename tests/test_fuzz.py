@@ -82,3 +82,35 @@ def test_config_validation_errors():
         Config(G=2, have_group_bounds=True, group_bounds=(1.0, 2.0))
     with pytest.raises(ValueError, match="dt"):
         Config(dt=0.0)
+
+
+def test_bdf2_symmetric_half_mode():
+    """The corrected symmetric snapshot (opt-in): engines agree with each
+    other and differ from the parity-quirk trajectory."""
+    from radiative_transfer_tpu.ops import pallas_sweep
+
+    base = Config(
+        M=4, G=3, N=48, bc_left_indicator=1, bc_right_indicator=1,
+        psi_source=tuple(tuple(2.0 for _ in range(3)) for _ in range(4)),
+        use_correction=True, V=1.0, ts_method=3, dt=1e-5, max_timesteps=4,
+        include_validation=False,
+    )
+    sym = base.replace(bdf2_symmetric_half=True)
+
+    def run_gen(cfg):
+        return np.asarray(transport.run_problem(cfg).state.ends)
+
+    e_quirk = run_gen(base)
+    e_sym = run_gen(sym)
+    assert not np.allclose(e_quirk, e_sym, rtol=1e-9)
+
+    tables, _, _ = transport.build_tables(sym)
+    feng, fst = fast_sweep.solve_fast(sym, tables, dtype=jnp.float64, chunk=8)
+    np.testing.assert_allclose(
+        np.asarray(feng.ends(fst)), e_sym, rtol=0,
+        atol=1e-12 * np.abs(e_sym).max(),
+    )
+    peng = pallas_sweep.PallasEngine(sym, tables, block=16)
+    pst = peng.solve(num_steps=4)
+    scale = np.abs(e_sym).max()
+    assert np.abs(np.asarray(peng.ends(pst)) - e_sym).max() / scale < 1e-5
