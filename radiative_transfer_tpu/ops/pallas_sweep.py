@@ -598,10 +598,12 @@ class PallasEngine:
         Bh=16, block=8192)."""
         p = self.Bh * self.block
         if self.cfg.ts_method in (1, 2):
-            if self.Bh <= 64:
-                return 16
+            if self.Bh <= 16:
+                return 16  # verified at Bh=16, block=8192
             return 2
-        if p <= (1 << 16):
+        # BDF2: K=8 verified up to Bh=16 (gray shapes); Bh=64 fails to
+        # compile at K>=4 even with tiny blocks, so only K=2 there.
+        if p <= (1 << 16) and self.Bh <= 16:
             return 8
         if p <= (1 << 17) and self.Bh <= 64:
             return 2
