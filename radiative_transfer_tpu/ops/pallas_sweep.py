@@ -16,8 +16,16 @@ half boundary the carry scratch holds the mu<0 outflow, which IS the
 reflective left-boundary inflow (solver.cpp:679-683) up to the direction
 flip and the fill-folding multiplier s (1 BE / 2 CN / 6 BDF2).
 
-HBM traffic per substep: kind-dependent inputs (BE 2, CN 3, BDF 6 planes)
-+ 2 output planes — the roofline minimum.
+Fusion levels (see _make_bdf2_kernel / _make_multistep_kernel):
+* all 4 BDF2 phases per block visit — the intermediate BE/CN planes
+  never touch HBM (half_ends never crosses step boundaries);
+* K whole timesteps per launch — step k at block i depends only on its
+  own carries from upstream blocks (VMEM scratch) and step k-1 at block
+  i (registers), so the in-order grid admits K-step chaining. HBM
+  traffic: 6/K plane-passes per BDF2 step, 4/K per BE/CN step. The
+  kernel then runs at ~75% of the VPU's fp32 elementwise peak,
+  compute-bound on the in-register Hillis-Steele scan
+  (docs/PERFORMANCE.md).
 
 State layout here is plain sweep-order planes (2, Bh, N) (not the XLA
 engine's chunk-tiled layout): blocks slice the lane axis directly.
