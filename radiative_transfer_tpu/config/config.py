@@ -301,6 +301,9 @@ def load_config(path: str, **overrides) -> Config:
         dt=prm.get_float("dt", 0.00001),
         max_timesteps=prm.get_int("max_timesteps", 1000),
         include_validation=prm.get_bool("include_validation", True),
+        # Extension key (not in the reference grammar; defaults to the
+        # reference-parity behavior when absent).
+        bdf2_symmetric_half=prm.get_bool("bdf2_symmetric_half", False),
     )
     if overrides:
         cfg = cfg.replace(**overrides)
