@@ -146,14 +146,20 @@ def main():
 
         if os.environ.get("RT_BENCH_FALLBACK"):
             raise
-        print(f"# device bench failed ({type(e).__name__}); "
-              f"falling back to CPU", file=sys.stderr)
+        print(f"# device bench failed ({type(e).__name__}: {e}); "
+              f"falling back to a quick CPU run", file=sys.stderr)
         env = dict(os.environ, JAX_PLATFORMS="cpu", RT_BENCH_FALLBACK="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--quick"],
             env=env, capture_output=True, text=True, timeout=1800,
         )
-        sys.stdout.write(out.stdout.strip().splitlines()[-1] + "\n")
+        lines = out.stdout.strip().splitlines()
+        if out.returncode != 0 or not lines:
+            print(out.stderr[-2000:], file=sys.stderr)
+            raise  # surface the ORIGINAL device failure
+        rec = json.loads(lines[-1])
+        rec["note"] = "cpu_fallback_quick_workload"  # NOT the device number
+        print(json.dumps(rec))
         return
     base = reference_binary_updates_per_s(quick)
     if base is None:

@@ -34,7 +34,8 @@ def main():
     cfg = rt.Config(
         M=8, G=4, N=256 * max(n_dev, 1),
         bc_left_indicator=2, bc_right_indicator=1,
-        psi_source=tuple(tuple(4.0931 for _ in range(4)) for _ in range(8)),
+        # use_mg_equilib replaces psi_source with the comoving-equilibrium
+        # Planckian (+ Doppler term) at setup.
         use_correction=True, V=1.0, use_mg_equilib=True,
         ts_method=3, dt=1e-5, max_timesteps=20,
         include_validation=False,

@@ -248,8 +248,12 @@ def load_config(path: str, **overrides) -> Config:
     prm = PrmFile(path)
 
     # M/G overrides must take effect before psi_source is shaped (M, G).
-    M = overrides.pop("M", None) or prm.get_int("M", 2)
-    G = overrides.pop("G", None) or prm.get_int("G", 1)
+    M = overrides.pop("M", None)
+    if M is None:
+        M = prm.get_int("M", 2)
+    G = overrides.pop("G", None)
+    if G is None:
+        G = prm.get_int("G", 1)
     use_mg_equilib = prm.get_bool("use_mg_equilib", False)
 
     psi_source = np.zeros((M, G), dtype=np.float64)
@@ -262,9 +266,11 @@ def load_config(path: str, **overrides) -> Config:
     if have_group_bounds:
         fname = prm.get_str("filename_group_bounds", "NA")
         vals = _read_table(_resolve_aux(path, fname))
-        assert vals.size == G + 1, (
-            f"group bounds file has {vals.size} entries, expected G+1={G + 1}"
-        )
+        if vals.size != G + 1:
+            raise ValueError(
+                f"group bounds file {fname!r} has {vals.size} entries, "
+                f"expected G+1={G + 1}"
+            )
         group_bounds = tuple(vals.tolist())
 
     have_group_kappa = prm.get_bool("have_group_absorption_opacities", False)
@@ -272,9 +278,11 @@ def load_config(path: str, **overrides) -> Config:
     if have_group_kappa:
         fname = prm.get_str("filename_group_kappa", "NA")
         vals = _read_table(_resolve_aux(path, fname))
-        assert vals.size == G, (
-            f"group kappa file has {vals.size} entries, expected G={G}"
-        )
+        if vals.size != G:
+            raise ValueError(
+                f"group kappa file {fname!r} has {vals.size} entries, "
+                f"expected G={G}"
+            )
         group_kappa = tuple(vals.tolist())
 
     cfg = Config(

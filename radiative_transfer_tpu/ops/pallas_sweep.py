@@ -599,11 +599,12 @@ class PallasEngine:
 
     def max_steps_per_launch(self) -> int:
         """Largest K the fused multi-step kernel compiles with (empirical
-        scoped-VMEM boundaries on v5e). BDF2 keeps ~8 planes live;
-        Bh*block <= 2^16 elements admits K=8, <= 2^17 admits K=2, above
-        that single steps only. BE/CN keep only 4 planes live and admit
-        K=16 (measured fastest: BE 26.4G, CN 22.1G sub-updates/s at
-        Bh=16, block=8192)."""
+        scoped-VMEM boundaries on v5e, verified only at the shapes noted).
+        BDF2 keeps ~8 planes live: K=8 needs Bh <= 16 AND Bh*block <=
+        2^16 (Bh=64 fails Mosaic compile at K>=4 even with tiny blocks);
+        Bh <= 64 with Bh*block <= 2^17 admits K=2; else single steps.
+        BE/CN keep only 4 planes live: K=16 verified at Bh <= 16
+        (block 8192: BE 26.4G, CN 22.1G sub-updates/s), else K=2."""
         p = self.Bh * self.block
         if self.cfg.ts_method in (1, 2):
             if self.Bh <= 16:
