@@ -95,6 +95,12 @@ def main(argv=None) -> int:
                     help="run in K-step chunks, printing the per-group "
                          "balance diagnostic and step metrics after each "
                          "(general engine)")
+    ap.add_argument("--mesh", default=None, metavar="GxX",
+                    help="multi-chip solve on a (group, spatial) device "
+                         "mesh, e.g. 2x4 (requires G divisible by the "
+                         "group factor for --engine general, M*G/2 "
+                         "divisible for --engine fast); 1xN is a pure "
+                         "spatial decomposition")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -159,6 +165,8 @@ def _run(args, cfg, dtype):
     from .models import transport
     from .utils import io as io_mod  # noqa: F401  (kept for parity of imports)
 
+    if args.mesh:
+        return _run_sharded(args, cfg, dtype)
     if args.engine in ("fast", "pallas"):
         tables, grid, ct = transport.build_tables(cfg, dtype=jnp.float64)
         if cfg.include_validation:
@@ -235,6 +243,62 @@ def _run(args, cfg, dtype):
         e_ave = np.asarray(grid.e_ave)
         steps_run = cfg.max_timesteps
     return result, e_ave, steps_run
+
+
+def _run_sharded(args, cfg, dtype):
+    """Multi-chip solve on a (group, spatial) device mesh (--mesh GxX)."""
+    import jax
+
+    from .models import transport
+    from .parallel import distributed, sharded, sharded_fast
+
+    distributed.initialize()
+    try:
+        ng, nx = (int(v) for v in args.mesh.lower().split("x"))
+    except ValueError:
+        raise SystemExit(f"--mesh must look like 2x4, got {args.mesh!r}")
+    n_dev = len(jax.devices())
+    if ng * nx > n_dev:
+        raise SystemExit(f"--mesh {args.mesh} needs {ng * nx} devices, "
+                         f"have {n_dev}")
+
+    tables, grid, ct = transport.build_tables(cfg, dtype=dtype)
+    if cfg.include_validation:
+        assert transport.validate_tables(cfg, ct), "Invalid Correction Terms"
+
+    if args.engine in ("fast", "pallas"):
+        if args.engine == "pallas":
+            print("--mesh uses the sharded FAST engine (pallas is "
+                  "single-chip); continuing with fast")
+        mesh = sharded_fast.make_mesh_2d(ng, nx) if ng > 1 else \
+            sharded_fast.make_mesh_1d(nx)
+        distributed.assert_mesh_spans_hosts(mesh)
+        eng = sharded_fast.ShardedFastEngine(cfg, tables, mesh, dtype=dtype)
+        fst = eng.solve()
+        ends = eng.ends(fst)
+        state = None
+    else:
+        mesh = sharded.make_mesh(nx, ng)
+        distributed.assert_mesh_spans_hosts(mesh)
+        state = transport.initial_state(cfg, tables, dtype=dtype)
+        state = sharded.solve_sharded(cfg, tables, state, mesh)
+        ends = state.ends
+
+    import jax.numpy as jnp
+
+    ends64 = jnp.asarray(ends, jnp.float64)
+    psi = transport.psi_from_ends(ends64)
+    phi = transport.compute_phi(psi, tables.wt.astype(jnp.float64))
+    le, re_ = transport.compute_group_ends(cfg, tables, ends64)
+    result = transport.SolveResult(
+        psi=psi, phi=phi,
+        phi_plus=transport.compute_phi_plus(psi, tables.wt.astype(jnp.float64)),
+        F=transport.compute_F(psi, tables.mu.astype(jnp.float64),
+                              tables.wt.astype(jnp.float64)),
+        balance=transport.compute_balance(cfg, tables, ends64, phi),
+        left_ends=le, right_ends=re_, state=state,
+    )
+    return result, np.asarray(grid.e_ave), cfg.max_timesteps
 
 
 def _run_with_balance(args, cfg, dtype):

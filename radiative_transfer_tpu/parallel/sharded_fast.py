@@ -84,11 +84,16 @@ class ShardedFastEngine:
             else None
         )
         self.NG = mesh.shape[self.gaxis] if self.gaxis else 1
+        # Pick the largest chunk <= `chunk` dividing N whose column count
+        # N/chunk splits evenly over the K spatial shards.
+        chunk = min(chunk, cfg.N)
+        while chunk > 1 and (cfg.N % chunk or (cfg.N // chunk) % self.K):
+            chunk -= 1
         self.eng = fs.FastEngine(cfg, tables, dtype=dtype, chunk=chunk,
                                  unroll=unroll)
         assert self.eng.nc % self.K == 0, (
-            f"chunk columns nc={self.eng.nc} not divisible by "
-            f"{self.K} spatial shards (N={cfg.N}, chunk={self.eng.chunk})"
+            f"no chunking of N={cfg.N} splits evenly over "
+            f"{self.K} spatial shards (got chunk={self.eng.chunk})"
         )
         assert self.eng.Bh % self.NG == 0, (
             f"batch rows Bh={self.eng.Bh} not divisible by "

@@ -34,9 +34,14 @@ def _compare(cfg, mesh, num_steps, chunk=8, tol=5e-13):
     got = np.asarray(seng.ends(sst))
     scale = np.max(np.abs(ref)) + 1e-300
     assert np.max(np.abs(got - ref)) / scale < tol
-    # prev/half planes too (BDF2 history must survive the decomposition)
+    # prev/half too (BDF2 history must survive the decomposition) —
+    # compared in the global layout since the engines may pick different
+    # chunkings for the same N.
     if cfg.ts_method == 3:
-        for a, b in ((fst.p1, sst.p1), (fst.h1, sst.h1)):
+        for a, b in (
+            (eng.ends_pair(fst.p0, fst.p1), seng.ends_pair(sst.p0, sst.p1)),
+            (eng.ends_pair(fst.h0, fst.h1), seng.ends_pair(sst.h0, sst.h1)),
+        ):
             d = np.max(np.abs(np.asarray(a) - np.asarray(b))) / scale
             assert d < tol
 
@@ -111,3 +116,37 @@ def test_2d_mesh_multigroup_reflective(mesh2x4):
 def test_2d_mesh_llnl(mesh2x4):
     cfg = load_config(reference_deck("llnl_slab_test.prm"), N=64)
     _compare(cfg, mesh2x4, 2)
+
+
+def test_awkward_N_chunk_autopick(mesh2x4):
+    """N=100 (the reference default) has no power-of-two chunking that
+    splits over 4 spatial shards; the engine must auto-pick a compatible
+    chunk (25 -> nc=4). (8 spatial shards are impossible for N=100 — the
+    contiguous split requires K | N — and must raise clearly.)"""
+    cfg = load_config(reference_deck("single_group.prm"), max_timesteps=4,
+                      M=8, psi_source=tuple((4.0931,) for _ in range(8)))
+    assert cfg.N == 100
+    _compare(cfg, mesh2x4, 4, chunk=256)
+
+    import jax
+
+    from radiative_transfer_tpu.models import transport as tr
+
+    tables, _, _ = tr.build_tables(cfg)
+    with pytest.raises(AssertionError, match="spatial shards"):
+        sharded_fast.ShardedFastEngine(
+            cfg, tables, sharded_fast.make_mesh_1d(8), dtype=jnp.float64
+        )
+
+
+def test_cli_mesh_flag(tmp_path):
+    from radiative_transfer_tpu import cli
+
+    deck = reference_deck("multi_group_equilibrium.prm")
+    for engine, sub in (("general", "a"), ("fast", "b")):
+        out = str(tmp_path / sub)
+        assert cli.main([deck, "--steps", "3", "--outdir", out,
+                         "--mesh", "2x4", "--engine", engine]) == 0
+    a = np.loadtxt(tmp_path / "a" / "phi.csv")
+    b = np.loadtxt(tmp_path / "b" / "phi.csv")
+    assert np.abs(a - b).max() / np.abs(a).max() < 1e-12
