@@ -174,6 +174,9 @@ def _run(args, cfg, dtype):
         if args.engine == "pallas":
             from .ops.pallas_sweep import PallasEngine
 
+            if args.dtype != "float32":
+                print("note: the pallas engine is float32-only; "
+                      "--dtype float64 runs use --engine fast/general")
             eng = PallasEngine(cfg, tables)
         else:
             from .ops.fast_sweep import FastEngine
