@@ -2,7 +2,7 @@
 """Benchmark: cell-angle-group updates/s per chip on the flagship workload.
 
 Workload (BASELINE.md "high-resolution gray slab"): S_32 gray slab,
-N = 2^19 cells, BDF2 — 4 sub-steps per timestep, each a batched
+N = 2^20 cells, BDF2 — 4 sub-steps per timestep, each a batched
 scan-parallel transport sweep. One "update" is one per-(cell, angle,
 group) 2x2 upwind solve, i.e. 4*M*G*N updates per full BDF2 step
 (matching the reference's innermost-loop trip count, src/solver.cpp:628-811).

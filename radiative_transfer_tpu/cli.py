@@ -16,6 +16,7 @@ Options:
                      (tiled float32/float64 fused path)
     --dtype D        float64 (default) or float32
     --profile        print per-step wall-clock and updates/s
+    --check          numeric guards per solve chunk (named checkify checks)
 """
 
 from __future__ import annotations
@@ -89,6 +90,16 @@ def main(argv=None) -> int:
                     help="print every physics table (quadrature, groups, "
                          "Planck integrals, correction components) and "
                          "write them as CSVs to --outdir")
+    ap.add_argument("--check", action="store_true",
+                    help="numeric guards: verify the intensity state is "
+                         "finite after every solve chunk (and at the end), "
+                         "aborting with the failing check named (the "
+                         "solver.cpp:609-612 assert analogue)")
+    ap.add_argument("--check-positivity", action="store_true",
+                    help="with --check, also enforce strictly positive "
+                         "edge intensities (reference debug-build assert, "
+                         "solver.cpp:402; off by default because vacuum "
+                         "boundaries legitimately reach ~0)")
     ap.add_argument("--trace", default=None, metavar="LOGDIR",
                     help="write a jax.profiler device trace to LOGDIR")
     ap.add_argument("--balance-every", type=int, default=None, metavar="K",
@@ -157,6 +168,15 @@ def main(argv=None) -> int:
     return 0
 
 
+def _make_check_fn(args):
+    """--check guard, or None (shared by every engine path)."""
+    if not args.check:
+        return None
+    from .utils.debug import make_ends_checker
+
+    return make_ends_checker(positivity=args.check_positivity)
+
+
 def _run(args, cfg, dtype):
     """Dispatch to the selected engine; returns (SolveResult, e_ave,
     steps_actually_run_this_process)."""
@@ -165,6 +185,7 @@ def _run(args, cfg, dtype):
     from .models import transport
     from .utils import io as io_mod  # noqa: F401  (kept for parity of imports)
 
+    check_fn = _make_check_fn(args)
     if args.mesh:
         return _run_sharded(args, cfg, dtype)
     if args.engine in ("fast", "pallas"):
@@ -187,7 +208,7 @@ def _run(args, cfg, dtype):
 
             fst, resumed = ckpt_mod.solve_with_checkpoints_engine(
                 eng, cfg, args.checkpoint_dir, every=args.checkpoint_every,
-                resume=not args.no_resume,
+                resume=not args.no_resume, check_fn=check_fn,
             )
             steps_run = cfg.max_timesteps - resumed
             if resumed:
@@ -196,6 +217,8 @@ def _run(args, cfg, dtype):
             fst = eng.solve()
             steps_run = cfg.max_timesteps
         ends = eng.ends(fst)
+        if check_fn is not None:
+            check_fn(ends, steps_run)
         psi = transport.psi_from_ends(ends)
         result = transport.SolveResult(
             psi=psi,
@@ -222,6 +245,7 @@ def _run(args, cfg, dtype):
         state, resumed = ckpt_mod.solve_with_checkpoints(
             cfg, tables, state, args.checkpoint_dir,
             every=args.checkpoint_every, resume=not args.no_resume,
+            check_fn=check_fn,
         )
         steps_run = cfg.max_timesteps - resumed
         if resumed:
@@ -245,6 +269,8 @@ def _run(args, cfg, dtype):
         _, grid, _ = transport.build_tables(cfg, dtype=dtype)
         e_ave = np.asarray(grid.e_ave)
         steps_run = cfg.max_timesteps
+        if check_fn is not None and result.state is not None:
+            check_fn(result.state.ends, steps_run)
     return result, e_ave, steps_run
 
 
@@ -290,6 +316,9 @@ def _run_sharded(args, cfg, dtype):
     import jax.numpy as jnp
 
     ends64 = jnp.asarray(ends, jnp.float64)
+    check_fn = _make_check_fn(args)
+    if check_fn is not None:
+        check_fn(ends64, cfg.max_timesteps)
     psi = transport.psi_from_ends(ends64)
     phi = transport.compute_phi(psi, tables.wt.astype(jnp.float64))
     le, re_ = transport.compute_group_ends(cfg, tables, ends64)
@@ -327,6 +356,7 @@ def _run_with_balance(args, cfg, dtype):
     def run_chunk(s, n):
         return lax.fori_loop(0, n, lambda _, x: step(x), s)
 
+    check_fn = _make_check_fn(args)
     metrics = StepMetrics(updates_per_step=updates_per_step(cfg))
     done, total, every = 0, cfg.max_timesteps, args.balance_every
     while done < total:
@@ -335,6 +365,8 @@ def _run_with_balance(args, cfg, dtype):
         state = jax.block_until_ready(run_chunk(state, n))
         metrics.add(n, time_mod.perf_counter() - t0)
         done += n
+        if check_fn is not None:
+            check_fn(state.ends, done)
         psi = transport.psi_from_ends(state.ends)
         phi = transport.compute_phi(psi, tables.wt)
         bal = np.asarray(transport.compute_balance(cfg, tables, state.ends, phi))

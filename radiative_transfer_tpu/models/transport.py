@@ -296,15 +296,27 @@ def solve(
     state: State,
     num_steps: Optional[int] = None,
 ) -> State:
-    """Run `num_steps` full timesteps (default cfg.max_timesteps), jitted."""
+    """Run `num_steps` full timesteps (default cfg.max_timesteps), jitted.
+
+    The jitted runner is cached per (cfg, tables-id, n): callers looping
+    over solves (chunked/checkpointed drivers) must not re-trace the
+    identical program every call.
+    """
     n = cfg.max_timesteps if num_steps is None else num_steps
-    step = make_step_fn(cfg, tables)
+    key = (cfg, id(tables), n)
+    run = _SOLVE_CACHE.get(key)
+    if run is None:
+        step = make_step_fn(cfg, tables)
 
-    @jax.jit
-    def run(state: State) -> State:
-        return jax.lax.fori_loop(0, n, lambda _, s: step(s), state)
+        @jax.jit
+        def run(state: State) -> State:
+            return jax.lax.fori_loop(0, n, lambda _, s: step(s), state)
 
+        _SOLVE_CACHE[key] = run
     return run(state)
+
+
+_SOLVE_CACHE: dict = {}
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,7 @@ def initialize(
     # backend instantiation makes distributed init impossible.
     already = getattr(jax.distributed, "global_state", None)
     needs_init = not (already is not None and already.client is not None)
+    explicit = coordinator_address is not None
     if needs_init:
         try:
             jax.distributed.initialize(
@@ -54,9 +55,16 @@ def initialize(
                 process_id=process_id,
             )
         except (RuntimeError, ValueError):
-            # Single-process run (no coordinator discoverable), already
-            # initialized, or a backend was already created. Multi-host
-            # jobs detect silent failure via assert_mesh_spans_hosts.
+            if explicit:
+                # The caller named a coordinator: a failed init means the
+                # job CANNOT be what was asked for (fail-fast policy,
+                # module doc) — swallowing it would run a silently
+                # smaller, wrong problem on each host.
+                raise
+            # Env-discovered path only: single-process run (no
+            # coordinator in the environment), already initialized, or a
+            # backend was already created. Multi-host jobs additionally
+            # detect silent failure via assert_mesh_spans_hosts.
             pass
     return {
         "process_index": jax.process_index(),

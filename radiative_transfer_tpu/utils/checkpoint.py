@@ -109,9 +109,13 @@ def solve_with_checkpoints(
     every: int,
     resume: bool = True,
     num_steps: Optional[int] = None,
+    check_fn=None,
 ) -> Tuple[State, int]:
     """Run the solve in chunks of `every` steps, checkpointing after each
     chunk; on entry, resume from the newest valid checkpoint if present.
+    `check_fn(ends, step)` (utils/debug.make_ends_checker) runs after each
+    chunk INCLUDING the resumed state, before anything is written — a
+    failing check aborts without committing a poisoned checkpoint.
 
     Returns (final_state, start_step_resumed_from). The trajectory is
     bit-identical to an uninterrupted `transport.solve` because chunking a
@@ -129,6 +133,8 @@ def solve_with_checkpoints(
         latest = latest_checkpoint(ckpt_dir)
         if latest is not None:
             state, start = load_checkpoint(latest, cfg)
+            if check_fn is not None:
+                check_fn(state.ends, start)
 
     step = transport.make_step_fn(cfg, tables)
 
@@ -141,6 +147,8 @@ def solve_with_checkpoints(
         n = min(every, total - done)
         state = run_chunk(state, n)  # compiles once per distinct n
         done += n
+        if check_fn is not None:
+            check_fn(state.ends, done)
         save_checkpoint(ckpt_dir, state, done, cfg)
     return state, start
 
@@ -152,6 +160,7 @@ def solve_with_checkpoints_engine(
     every: int,
     resume: bool = True,
     num_steps: Optional[int] = None,
+    check_fn=None,
 ):
     """Checkpointed solve for the FAST/Pallas engines (any engine exposing
     init_state/solve/ends_pair/from_ends). Checkpoints store the same
@@ -169,6 +178,8 @@ def solve_with_checkpoints_engine(
         latest = latest_checkpoint(ckpt_dir)
         if latest is not None:
             gstate, start = load_checkpoint(latest, cfg)
+            if check_fn is not None:
+                check_fn(gstate.ends, start)
             state = eng.from_ends(gstate.ends, gstate.prev_ends,
                                   gstate.half_ends)
     if state is None:
@@ -184,5 +195,7 @@ def solve_with_checkpoints_engine(
             prev_ends=np.asarray(eng.ends_pair(state.p0, state.p1), np.float64),
             half_ends=np.asarray(eng.ends_pair(state.h0, state.h1), np.float64),
         )
+        if check_fn is not None:
+            check_fn(gstate.ends, done)
         save_checkpoint(ckpt_dir, gstate, done, cfg)
     return state, start

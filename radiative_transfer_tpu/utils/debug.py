@@ -60,6 +60,43 @@ def checked_step(step: Callable, positivity: bool = False) -> Callable:
     return checkify.checkify(guarded)
 
 
+def make_ends_checker(positivity: bool = False) -> Callable:
+    """Per-chunk numeric guard for the drivers (CLI --check).
+
+    Returns check(ends, step=None) raising checkify.JaxRuntimeError with
+    the failing check NAMED if the (M, G, N, 2) edge-intensity array is
+    non-finite (or non-positive with positivity=True — the reference's
+    debug-build assert, solver.cpp:402). Composes with the chunked solvers
+    (utils/checkpoint.py, cli --balance-every): one device-side reduction
+    per chunk, no effect on the solve trajectory.
+    """
+
+    def _verify(ends):
+        checkify.check(
+            jnp.all(jnp.isfinite(ends)),
+            "check 'finite-intensity' failed: non-finite value in ends "
+            "(solver.cpp:609-612 analogue)",
+        )
+        if positivity:
+            checkify.check(
+                jnp.all(ends > 0),
+                "check 'positive-intensity' failed: non-positive edge "
+                "intensity (solver.cpp:402 analogue)",
+            )
+
+    verify = jax.jit(checkify.checkify(_verify))
+
+    def check(ends, step=None) -> None:
+        err, _ = verify(jnp.asarray(ends))
+        try:
+            err.throw()
+        except Exception as e:
+            where = f" at step {step}" if step is not None else ""
+            raise type(e)(f"{e}{where}") from None
+
+    return check
+
+
 def assert_state_finite(state) -> None:
     """Host-side: raise FloatingPointError if any state leaf is non-finite."""
     for name, leaf in zip(state._fields, state):

@@ -1,0 +1,79 @@
+"""Child program for the two-process jax.distributed test.
+
+Launched (twice) by tests/test_distributed.py with a localhost
+coordinator; runs the production sharded engine on a mesh spanning both
+processes and (process 0) writes the gathered final state to disk.
+
+Run standalone:  python distributed_child.py <pid> <nprocs> <port> <outdir>
+"""
+
+import os
+import sys
+
+# Must run before jax import: each process is a single-CPU-device "host".
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_ENABLE_X64"] = "1"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=1"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    process_id = int(sys.argv[1])
+    num_processes = int(sys.argv[2])
+    port = int(sys.argv[3])
+    outdir = sys.argv[4]
+
+    from radiative_transfer_tpu.parallel import distributed
+
+    # initialize() must precede any backend touch (module doc).
+    info = distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    assert info["process_count"] == num_processes, info
+    assert info["global_devices"] == num_processes, info
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from radiative_transfer_tpu.config.config import Config
+    from radiative_transfer_tpu.models import transport
+    from radiative_transfer_tpu.parallel import sharded_fast
+
+    mesh = sharded_fast.make_mesh_1d(num_processes)
+    distributed.assert_mesh_spans_hosts(mesh)
+
+    cfg = Config(
+        M=4, G=2, N=64, efirst=0.1, elast=10.0, X=1.0,
+        bc_left_indicator=2, bc_right_indicator=1,
+        psi_source=tuple(tuple(4.0931 for _ in range(2)) for _ in range(4)),
+        rho=1.0, kappa_grey=1.0, T=1.0, V=1.0, use_correction=True,
+        ts_method=3, dt=1e-4, max_timesteps=5,
+        include_validation=False,
+    )
+    tables, _, _ = transport.build_tables(cfg, dtype=jnp.float64)
+    eng = sharded_fast.ShardedFastEngine(
+        cfg, tables, mesh, dtype=jnp.float64, chunk=8
+    )
+    st = eng.solve()
+    ends = eng.ends(st)  # global array spanning both processes
+    # tiled=True: reassemble the (already-global) sharded array so every
+    # process holds the full (M, G, N, 2) result.
+    local = np.asarray(multihost_utils.process_allgather(ends, tiled=True))
+    assert local.shape == (cfg.M, cfg.G, cfg.N, 2), local.shape
+
+    if process_id == 0:
+        np.save(os.path.join(outdir, "ends.npy"), local)
+    multihost_utils.sync_global_devices("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -96,7 +96,8 @@ def _run_ours(deck_path, outdir):
     return outdir
 
 
-FIELDS = ("phi", "phi_plus", "F", "psi", "left_ends", "right_ends", "e_ave")
+FIELDS = ("phi", "phi_plus", "F", "psi", "left_ends", "right_ends", "e_ave",
+          "x")
 
 
 def _compare(refdir, ourdir, tol=1e-5):
