@@ -52,7 +52,21 @@ def _time_best(run, state, repeats=3):
     return best
 
 
-def run_case(engine, cfg, dtype_name):
+def _mk_mesh(mesh_str):
+    import jax
+    import numpy as _np
+
+    from jax.sharding import Mesh
+
+    ng, nx = (int(v) for v in mesh_str.lower().split("x"))
+    devs = jax.devices()
+    assert ng * nx <= len(devs), f"--mesh {mesh_str} needs {ng * nx} devices"
+    if ng > 1:
+        return Mesh(_np.asarray(devs[: ng * nx]).reshape(ng, nx), ("g", "x"))
+    return Mesh(_np.asarray(devs[:nx]), ("x",))
+
+
+def run_case(engine, cfg, dtype_name, mesh_str="1x1"):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -63,7 +77,32 @@ def run_case(engine, cfg, dtype_name):
     steps = cfg.max_timesteps
     tables, _, _ = transport.build_tables(cfg, dtype=dtype)
 
-    if engine == "pallas":
+    if engine == "sharded-pallas":
+        # Multi-chip Pallas path; at --mesh 1x1 this bounds the shard_map
+        # + deferred-correction overhead vs the plain pallas engine.
+        from radiative_transfer_tpu.parallel.sharded_pallas import (
+            ShardedPallasEngine,
+        )
+
+        eng = ShardedPallasEngine(cfg, tables, _mk_mesh(mesh_str), block=4096)
+        state = eng.init_state()
+
+        def run(s):
+            return eng.solve(s, num_steps=steps)
+
+    elif engine == "sharded-fast":
+        from radiative_transfer_tpu.parallel.sharded_fast import (
+            ShardedFastEngine,
+        )
+
+        eng = ShardedFastEngine(cfg, tables, _mk_mesh(mesh_str),
+                                dtype=dtype, chunk=256)
+        state = eng.init_state()
+
+        def run(s):
+            return eng.solve(s, num_steps=steps)
+
+    elif engine == "pallas":
         from radiative_transfer_tpu.ops.pallas_sweep import PallasEngine
 
         eng = PallasEngine(cfg, tables, block=4096)
@@ -106,6 +145,9 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--engines", default="pallas,fast")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--mesh", default="1x1", metavar="GxX",
+                    help="device mesh for the sharded-* engines "
+                         "(1x1 bounds the shard_map overhead on one chip)")
     args = ap.parse_args()
 
     import jax
@@ -126,12 +168,14 @@ def main():
     rows = []
     for name, M, G, N, steps, corr in cases:
         for engine in engines:
-            if engine == "pallas" and not on_tpu and N > (1 << 14):
+            if ("pallas" in engine) and not on_tpu and N > (1 << 14):
                 continue  # interpreter too slow for big cases
-            dtypes = ["float32"] if engine == "pallas" else ["float32", "float64"]
+            dtypes = (["float32"] if "pallas" in engine
+                      else ["float32", "float64"])
             for dt in dtypes:
                 try:
-                    ups = run_case(engine, _mk_cfg(M, G, N, steps, corr), dt)
+                    ups = run_case(engine, _mk_cfg(M, G, N, steps, corr),
+                                   dt, args.mesh)
                     rec = {
                         "case": name, "engine": engine, "dtype": dt,
                         "M": M, "G": G, "N": N, "steps": steps,

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Weak-scaling measurement: updates/s vs spatial shards at fixed
+cells/chip — the BASELINE.md north-star table (>= 80% efficiency from 1
+chip to a multi-host v5e slice).
+
+For each K in 1, 2, 4, ... up to the available device count, solves a
+gray S_32 BDF2 slab with N = cells_per_shard * K on a 1xK mesh and
+reports  efficiency(K) = rate(K) / (K * rate(1)).
+
+On the current single-chip image only K=1 runs on real hardware; pass
+--virtual to measure the full ladder on a forced CPU host mesh (relative
+efficiencies there reflect collective/overhead scaling, not TPU rates —
+run this unchanged on a real slice when one is available). The expected
+real-hardware efficiency model: per sub-step the exchange adds one
+(2, M*G/2) all_gather + <= 2 tiny ppermutes over ICI, independent of
+cells/chip — O(10 us) per sub-step against a compute time of
+(cells/chip * M * G / rate_chip), so efficiency ~ 1 / (1 + t_coll/t_comp)
+stays > 0.9 for >= 2^17 cells/chip at v5e ICI latencies.
+
+Usage:
+    python benchmarks/weak_scaling.py [--cells-per-shard 131072]
+        [--steps 16] [--engine sharded-pallas|sharded-fast] [--virtual]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cells-per-shard", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--engine", default="sharded-pallas",
+                    choices=("sharded-pallas", "sharded-fast"))
+    ap.add_argument("--virtual", action="store_true",
+                    help="force an 8-device CPU host mesh (overhead "
+                         "trends only, not TPU rates)")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.virtual:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+
+    import jax
+    import numpy as np
+
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from radiative_transfer_tpu.models import transport
+    from suite import _mk_cfg  # same workload builder as the matrix suite
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    n_dev = len(jax.devices())
+    cells = args.cells_per_shard or ((1 << 20) if on_tpu else (1 << 10))
+    M, G = 32, 1
+
+    rows = []
+    base_rate = None
+    K = 1
+    while K <= n_dev:
+        cfg = _mk_cfg(M, G, cells * K, args.steps)
+        tables, _, _ = transport.build_tables(cfg, dtype=jnp.float32)
+        mesh = Mesh(np.asarray(jax.devices()[:K]), ("x",))
+        if args.engine == "sharded-pallas":
+            from radiative_transfer_tpu.parallel.sharded_pallas import (
+                ShardedPallasEngine,
+            )
+
+            eng = ShardedPallasEngine(cfg, tables, mesh, block=4096)
+        else:
+            from radiative_transfer_tpu.parallel.sharded_fast import (
+                ShardedFastEngine,
+            )
+
+            eng = ShardedFastEngine(cfg, tables, mesh,
+                                    dtype=jnp.float32, chunk=256)
+
+        state = jax.block_until_ready(eng.solve(num_steps=args.steps))
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            state = jax.block_until_ready(
+                eng.solve(state, num_steps=args.steps))
+            best = min(best, time.perf_counter() - t0)
+        rate = 4 * M * G * cells * K * args.steps / best
+        if base_rate is None:
+            base_rate = rate
+        rec = {
+            "engine": args.engine, "shards": K,
+            "cells_per_shard": cells, "total_cells": cells * K,
+            "updates_per_s": rate,
+            "per_shard": rate / K,
+            "efficiency": rate / (K * base_rate),
+            "platform": jax.devices()[0].platform,
+        }
+        rows.append(rec)
+        print(json.dumps(rec), flush=True)
+        K *= 2
+
+    print("\nshards  G upd/s   per-shard   efficiency", file=sys.stderr)
+    for r in rows:
+        print(f"{r['shards']:>6}  {r['updates_per_s'] / 1e9:8.2f}  "
+              f"{r['per_shard'] / 1e9:9.2f}   {r['efficiency']:.3f}",
+              file=sys.stderr)
+    if n_dev == 1:
+        print("(single device: K=1 row only — rerun on a multi-chip "
+              "slice for the scaling ladder)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

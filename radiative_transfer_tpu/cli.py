@@ -296,13 +296,18 @@ def _run_sharded(args, cfg, dtype):
         assert transport.validate_tables(cfg, ct), "Invalid Correction Terms"
 
     if args.engine in ("fast", "pallas"):
-        if args.engine == "pallas":
-            print("--mesh uses the sharded FAST engine (pallas is "
-                  "single-chip); continuing with fast")
         mesh = sharded_fast.make_mesh_2d(ng, nx) if ng > 1 else \
             sharded_fast.make_mesh_1d(nx)
         distributed.assert_mesh_spans_hosts(mesh)
-        eng = sharded_fast.ShardedFastEngine(cfg, tables, mesh, dtype=dtype)
+        if args.engine == "pallas":
+            from .parallel.sharded_pallas import ShardedPallasEngine
+
+            if args.dtype != "float32":
+                print("note: the sharded pallas engine is float32-only")
+            eng = ShardedPallasEngine(cfg, tables, mesh)
+        else:
+            eng = sharded_fast.ShardedFastEngine(cfg, tables, mesh,
+                                                 dtype=dtype)
         fst = eng.solve()
         ends = eng.ends(fst)
         state = None
