@@ -7,6 +7,13 @@ scan-parallel transport sweep. One "update" is one per-(cell, angle,
 group) 2x2 upwind solve, i.e. 4*M*G*N updates per full BDF2 step
 (matching the reference's innermost-loop trip count, src/solver.cpp:628-811).
 
+dt is derived from a cell Courant number c*dt/dx = 0.4: the reference's
+BDF2 predictor-corrector cycle is numerically unstable for cell Courant
+>~ 0.5 (verified against the reference binary itself — both codes blow
+up identically; see docs/QUIRKS.md "BDF2 stability envelope"), so a
+fixed dt=1e-5 at N=2^20 would time exponentially-diverging garbage.
+The timing itself is dt-independent (same FLOPs per step).
+
 `vs_baseline`: the reference publishes no numbers (BASELINE.md), so the
 comparison point is the ACTUAL reference miniapp, compiled in-image
 against the Eigen-subset shim (hot path -O2; see
@@ -39,12 +46,15 @@ def tpu_updates_per_s(M=32, G=1, N=1 << 20, steps=64, dtype="float32"):
     from radiative_transfer_tpu.ops.fast_sweep import FastEngine
 
     steps = max(steps, 2)
+    C = 299.79245800  # cm/sh, Constants.h:13
+    dt = 0.4 * (1.0 / N) / C  # cell Courant 0.4 — inside the BDF2
+    # 4-phase cycle's stability envelope (docs/QUIRKS.md)
     cfg = Config(
         M=M, G=G, N=N, X=1.0,
         bc_left_indicator=2, bc_right_indicator=1,
         psi_source=tuple(tuple(4.0931 for _ in range(G)) for _ in range(M)),
         rho=1.0, kappa_grey=1.0, T=1.0,
-        ts_method=3, dt=1e-5, max_timesteps=steps,
+        ts_method=3, dt=dt, max_timesteps=steps,
         include_validation=False,
     )
     jdt = jnp.float32 if dtype == "float32" else jnp.float64
@@ -79,6 +89,12 @@ def tpu_updates_per_s(M=32, G=1, N=1 << 20, steps=64, dtype="float32"):
         t0 = time.perf_counter()
         out = jax.block_until_ready(run(out))
         best = min(best, time.perf_counter() - t0)
+    # Guard: the timed state must be finite and bounded (equilibrium is
+    # ~4.09) — refuse to report a rate measured on diverged garbage.
+    for leaf in jax.tree_util.tree_leaves(out):
+        m = float(jnp.max(jnp.abs(leaf)))
+        if not np.isfinite(m) or m > 1e3:
+            raise RuntimeError(f"bench state diverged (max|x|={m:.3e})")
     updates = 4 * M * G * N * steps
     return updates / best
 

@@ -184,7 +184,8 @@ def _make_kernel(kind: int, *, Bh: int, blk: int, Mh: int, G: int,
                 # m -> Mh-1-m is a (Bh x Bh) permutation matmul (Mosaic
                 # has no rev primitive).
                 carry[:] = s * jnp.dot(
-                    perm_ref[:], carry[:], preferred_element_type=jnp.float32
+                    perm_ref[:], carry[:], preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
                 )
             else:
                 carry[:] = s * bc_ref[0]
@@ -325,6 +326,7 @@ def _make_multistep_kernel(kind: int, *, Bh: int, blk: int,
                     carries[k][:] = s * jnp.dot(
                         perm_ref[:], carries[k][:],
                         preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST,
                     )
                 else:
                     carries[k][:] = s * bc_ref[0]
@@ -410,6 +412,7 @@ def _make_bdf2_kernel(*, Bh: int, blk: int, Mh: int, G: int,
                         cs[:] = s_of_phase[p] * jnp.dot(
                             perm_ref[:], cs[:],
                             preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST,
                         )
                     else:
                         cs[:] = s_of_phase[p] * bc_ref[0]
@@ -482,6 +485,13 @@ class PallasEngine:
         Mh, G = cfg.M // 2, cfg.G
         self.Mh, self.G = Mh, G
         self.Bh = Mh * G
+        if interpret is None:
+            # Mosaic-compile on any real TPU backend (including tunnelled
+            # platforms whose backend name is not literally "tpu");
+            # interpret elsewhere (CPU tests).
+            interpret = jax.devices()[0].platform == "cpu"
+        self.interpret = interpret
+
         self.block = block
         while cfg.N % self.block != 0 or (self.block & (self.block - 1)):
             self.block //= 2
@@ -500,13 +510,13 @@ class PallasEngine:
         if (cfg.ts_method == 3 and self.Bh * self.block > (1 << 16)
                 and self.block >= 8192):
             self.block //= 2
+        # Mosaic requires the lane (last) block dim to be a multiple of 128
+        # or equal to the full array dim. Small reference decks (N=100, 50)
+        # have no such power-of-two divisor — run them as ONE whole-N block
+        # (grid (2, 1)); the in-block scan handles any length.
+        if not interpret and self.block % 128 != 0 and self.block != cfg.N:
+            self.block = cfg.N
         self.nblocks = cfg.N // self.block
-        if interpret is None:
-            # Mosaic-compile on any real TPU backend (including tunnelled
-            # platforms whose backend name is not literally "tpu");
-            # interpret elsewhere (CPU tests).
-            interpret = jax.devices()[0].platform == "cpu"
-        self.interpret = interpret
 
         # Reuse the XLA fast engine for coefficients, BCs and layout maps.
         self._fe = fs.FastEngine(cfg, tables, dtype=jnp.float32, chunk=self.block)
