@@ -23,9 +23,11 @@ Fusion levels (see _make_bdf2_kernel / _make_multistep_kernel):
   own carries from upstream blocks (VMEM scratch) and step k-1 at block
   i (registers), so the in-order grid admits K-step chaining. HBM
   traffic: 6/K plane-passes per BDF2 step, 4/K per BE/CN step. The
-  kernel then runs at ~75% of the VPU's fp32 elementwise peak,
-  compute-bound on the in-register Hillis-Steele scan
-  (docs/PERFORMANCE.md).
+  kernel is then compute-bound on the in-register scan, whose pass
+  count is truncated to the workload's physical attenuation depth
+  (_scan_npass: the carry multiplier a < 1, so passes whose reach
+  exceeds the a^dist decay horizon are numerically irrelevant; bound
+  a^(2^k)/(1-a) < scan_tol). See docs/PERFORMANCE.md.
 
 State layout here is plain sweep-order planes (2, Bh, N) (not the XLA
 engine's chunk-tiled layout): blocks slice the lane axis directly.
@@ -64,31 +66,98 @@ def _pack_coeffs(kc: fs.KindCoeffs) -> jnp.ndarray:
     return packed.astype(jnp.float32)
 
 
-def _hillis_steele(b: jnp.ndarray, a: jnp.ndarray, blk: int) -> jnp.ndarray:
-    """Inclusive prefix of carry_j = a*carry_{j-1} + b_j along axis 1
-    (zero init), constant per-row a. log2(blk) full-width VPU steps."""
-    col = lax.broadcasted_iota(jnp.int32, b.shape, 1)
-    pref = b
-    apow = a
+def _scan_strides(blk: int) -> Tuple[int, ...]:
+    """The Hillis-Steele pass strides 1, 2, 4, ... below blk."""
+    out = []
     d = 1
     while d < blk:
+        out.append(d)
+        d *= 2
+    return tuple(out)
+
+
+def _scan_masks(blk: int) -> np.ndarray:
+    """Precomputed per-pass edge masks: masks[k, 0, col] = 1.0 iff
+    col >= stride_k. Shared across rows, sub-step kinds and fused steps;
+    folding the per-row carry power into them ((a^d * mask) * rolled)
+    replaces the per-pass iota compare + select of the naive scan — the
+    outer products are loop-invariant within a kernel body, so Mosaic
+    computes each one once per launch. Measured ~1.9x on the scan
+    (benchmarks/scan_experiments.py: hs-maskmul vs hs)."""
+    col = np.arange(blk)[None, :]
+    return np.stack(
+        [(col >= d).astype(np.float32) for d in _scan_strides(blk)]
+    )  # (npass, 1, blk)
+
+
+def _scan_npass(a_max: float, blk: int, tol: float) -> int:
+    """Passes needed for the truncated scan to be `tol`-accurate.
+
+    The carry multiplier a is < 1 (attenuation: a = q*w/det,
+    fast_sweep.build_kind_coeffs), so upwind influence decays as a^dist.
+    After the first k passes the prefix includes every contribution
+    closer than 2^k cells; the neglected tail has relative weight at
+    most sum_{j>=2^k} a^j = a^(2^k)/(1-a). The smallest k with that
+    bound < tol gives an error indistinguishable from f32 roundoff for
+    tol ~ 1e-10 (measured engine drift is 1e-6..3e-5,
+    docs/PERFORMANCE.md "f32 accuracy") while skipping most of the
+    scan on optically thick / sub-Courant workloads. tol=0 disables
+    truncation (full log2(blk) passes)."""
+    full = len(_scan_strides(blk))
+    if tol <= 0.0 or not np.isfinite(a_max):
+        return full
+    a = min(max(float(a_max), 0.0), 1.0 - 1e-12)
+    for k in range(full):
+        if a ** (1 << k) / (1.0 - a) < tol:
+            return k
+    return full
+
+
+def _hillis_steele(b: jnp.ndarray, a: jnp.ndarray, blk: int,
+                   m_ref, npass: Optional[int] = None) -> jnp.ndarray:
+    """Inclusive prefix of carry_j = a*carry_{j-1} + b_j along axis 1
+    (zero init), constant per-row a. `npass` (default: all) full-width
+    VPU steps of roll + mul + add, using the precomputed _scan_masks
+    planes; see _scan_npass for the truncation contract."""
+    pref = b
+    apow = a
+    strides = _scan_strides(blk)
+    if npass is not None:
+        strides = strides[:npass]
+    for k, d in enumerate(strides):
         # int32 shift: x64 mode would promote a Python int to i64, which
         # tpu.dynamic_rotate rejects.
         rolled = pltpu.roll(pref, jnp.int32(d), axis=1)
-        shifted = jnp.where(col < d, 0.0, rolled)
-        pref = pref + apow * shifted
+        pref = pref + (apow * m_ref[k]) * rolled
         apow = apow * apow
-        d *= 2
     return pref
 
 
-# NOTE: a two-level (chunked) in-register scan would cut the full-width
-# roll passes from log2(blk) to log2(128)+fixup, but Mosaic's layout
-# inference rejects the required lane-dim shape casts ("unsupported shape
-# cast" for (Bh, blk) -> (Bh*nch, 128)), and a (Bh, nch, 1)-shaped
-# cross-chunk array pads to full lane registers, erasing the saving. The
-# flat Hillis-Steele stays; the big HBM lever is multi-step fusion
-# (_make_bdf2_kernel with steps_per_launch > 1) instead.
+# NOTE on rejected alternatives (measured, benchmarks/scan_experiments.py):
+# * a two-level (chunked) in-register scan would cut the full-width
+#   roll passes from log2(blk) to log2(128)+fixup, but Mosaic's layout
+#   inference rejects the required lane-dim shape casts ("unsupported
+#   shape cast" for (Bh, blk) -> (Bh*nch, 128)), and a (Bh, nch, 1)
+#   cross-chunk array pads to full lane registers, erasing the saving;
+# * the MXU Toeplitz-matmul prefix (L[t,s] = a^{t-s} blocked at 128,
+#   replacing the first 5 passes) LOSES ~2x: the 128-lane contraction is
+#   padded regardless of chunk width (128 MACs/element vs ~20 remaining
+#   VPU ops), per-row L forces (nch,128)@(128,128) dots that reach only
+#   ~1.8 T MAC/s, and Mosaic's dot has no f32-accurate fast path
+#   (precision=HIGH is NotImplemented; bf16 default is far too coarse
+#   for a^{t-s}). Measured: matmul route 91 us vs flat scan 52 us at the
+#   headline shape.
+
+# Mosaic's default scoped-VMEM budget is 16 MiB — well under the chip's
+# physical VMEM (128 MiB on v5e). Round 1's empirical fusion limits
+# (block <= 8192, K <= 8) were artifacts of that default; raising it
+# admits larger blocks and deeper multi-step fusion.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _params(interpret: bool):
+    return (None if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
 
 
 class _Coef(NamedTuple):
@@ -109,9 +178,9 @@ def _unpack_coef(coef_ref) -> _Coef:
     return _Coef(*(c[:, k:k + 1] for k in range(_NCOEF)))
 
 
-def _substep_block(kind, kc: _Coef, col, blk,
+def _substep_block(kind, kc: _Coef, col, blk, m_ref,
                    e0, e1, p0, p1, h0, h1,
-                   carry_ref, ptail, htail):
+                   carry_ref, ptail, htail, npass=None):
     """One sub-step on one VMEM-resident block: RHS build, in-block scan,
     2x2 reconstruct. Reads/updates the inter-block carry scratch; `ptail`/
     `htail` are the previous block's upwind p1/h1 edge VALUES (not refs).
@@ -141,7 +210,7 @@ def _substep_block(kind, kc: _Coef, col, blk,
 
     c_in0 = carry_ref[:]
     b_adj = jnp.where(col < 1, b + kc.a * c_in0, b)
-    pref = _hillis_steele(b_adj, kc.a, blk)
+    pref = _hillis_steele(b_adj, kc.a, blk, m_ref, npass)
     carry_ref[:] = pref[:, -1:]
 
     rolled = pltpu.roll(pref, jnp.int32(1), axis=1)
@@ -154,10 +223,10 @@ def _substep_block(kind, kc: _Coef, col, blk,
 
 
 def _make_kernel(kind: int, *, Bh: int, blk: int, Mh: int, G: int,
-                 reflective: bool, s: float):
+                 reflective: bool, s: float, npass: int = None):
     """Kernel factory, specialised per sub-step kind."""
 
-    def kernel(coef_ref, bc_ref, perm_ref, *refs):
+    def kernel(coef_ref, bc_ref, perm_ref, m_ref, *refs):
         if kind == BDF:
             e0r, e1r, p0r, p1r, h0r, h1r, o0r, o1r, carry, ptail, htail = refs
         elif kind == CN:
@@ -201,9 +270,9 @@ def _make_kernel(kind: int, *, Bh: int, blk: int, Mh: int, G: int,
         else:
             p0, p1, h0, h1 = e0, e1, e0, e1       # unused by BE
 
-        o0, o1 = _substep_block(kind, kc, col, blk,
+        o0, o1 = _substep_block(kind, kc, col, blk, m_ref,
                                 e0, e1, p0, p1, h0, h1,
-                                carry, ptail[:], htail[:])
+                                carry, ptail[:], htail[:], npass)
         if kind in (CN, BDF):
             ptail[:] = p1[:, -1:]
         if kind == BDF:
@@ -213,7 +282,8 @@ def _make_kernel(kind: int, *, Bh: int, blk: int, Mh: int, G: int,
     return kernel
 
 
-def _make_sharded_kernel(kind: int, *, Bh: int, blk: int):
+def _make_sharded_kernel(kind: int, *, Bh: int, blk: int,
+                         npass: int = None):
     """Zero-inflow substep kernel for the multi-chip engine
     (parallel/sharded_pallas.py). Same per-block math as _make_kernel,
     with three changes that make the kernel shard-local:
@@ -239,14 +309,14 @@ def _make_sharded_kernel(kind: int, *, Bh: int, blk: int):
 
     def kernel(*refs):
         if kind == BDF:
-            (coef_ref, ce_ref, cp_ref, ch_ref, hp_ref, hh_ref,
+            (coef_ref, m_ref, ce_ref, cp_ref, ch_ref, hp_ref, hh_ref,
              e0r, e1r, p0r, p1r, h0r, h1r,
              o0r, o1r, carry, ptail, htail) = refs
         elif kind == CN:
-            (coef_ref, ce_ref, cp_ref, hp_ref,
+            (coef_ref, m_ref, ce_ref, cp_ref, hp_ref,
              e0r, e1r, p1r, o0r, o1r, carry, ptail, htail) = refs
         else:
-            (coef_ref, ce_ref,
+            (coef_ref, m_ref, ce_ref,
              e0r, e1r, o0r, o1r, carry, ptail, htail) = refs
 
         i = pl.program_id(1)
@@ -283,9 +353,9 @@ def _make_sharded_kernel(kind: int, *, Bh: int, blk: int):
         else:
             p0, p1, h0, h1 = e0, e1, e0, e1            # unused by BE
 
-        o0, o1 = _substep_block(kind, kc, col, blk,
+        o0, o1 = _substep_block(kind, kc, col, blk, m_ref,
                                 e0, e1, p0, p1, h0, h1,
-                                carry, ptail[:], htail[:])
+                                carry, ptail[:], htail[:], npass)
         if kind in (CN, BDF):
             ptail[:] = p1[:, -1:]
         if kind == BDF:
@@ -296,7 +366,8 @@ def _make_sharded_kernel(kind: int, *, Bh: int, blk: int):
 
 
 def _make_multistep_kernel(kind: int, *, Bh: int, blk: int,
-                           reflective: bool, s: float, K: int):
+                           reflective: bool, s: float, K: int,
+                           npass: int = None):
     """K whole BE or CN timesteps per launch (the BDF2 analogue lives in
     _make_bdf2_kernel). Per step: prev_ends is the step's input (committed
     every step, solver.cpp:620-625), so only the final ends + prev planes
@@ -304,7 +375,7 @@ def _make_multistep_kernel(kind: int, *, Bh: int, blk: int,
     grid argument as the BDF2 multi-step kernel."""
     assert kind in (BE, CN)
 
-    def kernel(coef_ref, bc_ref, perm_ref, e0r, e1r,
+    def kernel(coef_ref, bc_ref, perm_ref, m_ref, e0r, e1r,
                o0r, o1r, op0r, op1r, *scratch):
         assert len(scratch) == 2 * K
         carries = scratch[:K]
@@ -338,9 +409,9 @@ def _make_multistep_kernel(kind: int, *, Bh: int, blk: int,
             et_prev = etails[k][:]
             zt = jnp.zeros_like(et_prev)
             # prev = this step's input ends (both kinds commit per step).
-            f0, f1 = _substep_block(kind, kc, col, blk,
+            f0, f1 = _substep_block(kind, kc, col, blk, m_ref,
                                     e0, e1, e0, e1, e0, e1, carries[k],
-                                    et_prev, zt)
+                                    et_prev, zt, npass)
             etails[k][:] = e1[:, -1:]
             if k == K - 1:
                 op0r[0], op1r[0] = e0, e1
@@ -354,7 +425,9 @@ def _make_multistep_kernel(kind: int, *, Bh: int, blk: int,
 def _make_bdf2_kernel(*, Bh: int, blk: int, Mh: int, G: int,
                       reflective: bool, s_be: float, s_cn: float,
                       s_bdf: float, K: int = 1,
-                      symmetric_half: bool = False):
+                      symmetric_half: bool = False,
+                      npass_be: int = None, npass_cn: int = None,
+                      npass_bdf: int = None):
     """ONE kernel for K whole BDF2 4-phase timesteps.
 
     The sub-steps couple only (a) cell-locally within a block, (b) through
@@ -381,7 +454,7 @@ def _make_bdf2_kernel(*, Bh: int, blk: int, Mh: int, G: int,
     CN/BDF shift terms).
     """
 
-    def kernel(cbe_ref, ccn_ref, cbdf_ref, bc_ref, perm_ref,
+    def kernel(cbe_ref, ccn_ref, cbdf_ref, bc_ref, perm_ref, m_ref,
                e0r, e1r, o0r, o1r, oh0r, oh1r, op0r, op1r, *scratch):
         assert len(scratch) == 6 * K
         carries = scratch[: 4 * K]     # [k*4 + phase]
@@ -438,25 +511,27 @@ def _make_bdf2_kernel(*, Bh: int, blk: int, Mh: int, G: int,
             cbe1, ccn, cbe2, cbdf = carries[4 * k: 4 * k + 4]
 
             # Phase 0: BE(dt/2) predictor.
-            b0, b1 = _substep_block(BE, kbe, col, blk,
-                                    e0, e1, e0, e1, e0, e1, cbe1, zt, zt)
+            b0, b1 = _substep_block(BE, kbe, col, blk, m_ref,
+                                    e0, e1, e0, e1, e0, e1, cbe1, zt, zt,
+                                    npass_be)
             # Phase 1: CN(dt/2) corrector -> half snapshot (see above).
-            hc0, hc1 = _substep_block(CN, kcn, col, blk,
+            hc0, hc1 = _substep_block(CN, kcn, col, blk, m_ref,
                                       b0, b1, e0, e1, e0, e1, ccn,
-                                      et_prev, zt)
+                                      et_prev, zt, npass_cn)
             if symmetric_half:
                 hs0, hs1 = hc0, hc1
             else:
                 hs0 = jnp.where(is_neg, hc0, b0)
                 hs1 = jnp.where(is_neg, hc1, b1)
             # Phase 2: second BE(dt/2) predictor.
-            d0, d1 = _substep_block(BE, kbe, col, blk,
-                                    hc0, hc1, e0, e1, hs0, hs1, cbe2, zt, zt)
+            d0, d1 = _substep_block(BE, kbe, col, blk, m_ref,
+                                    hc0, hc1, e0, e1, hs0, hs1, cbe2,
+                                    zt, zt, npass_be)
             # Phase 3: BDF2 corrector (prev = step input ends, half = the
             # mixed snapshot).
-            f0, f1 = _substep_block(BDF, kbdf, col, blk,
+            f0, f1 = _substep_block(BDF, kbdf, col, blk, m_ref,
                                     d0, d1, e0, e1, hs0, hs1, cbdf,
-                                    et_prev, ht_prev)
+                                    et_prev, ht_prev, npass_bdf)
 
             etails[k][:] = e1[:, -1:]
             htails[k][:] = hs1[:, -1:]
@@ -478,10 +553,15 @@ class PallasEngine:
     N-reversed / edge-swapped, as in fast_sweep).
     """
 
-    def __init__(self, cfg: Config, tables, block: int = 2048,
-                 interpret: Optional[bool] = None):
+    def __init__(self, cfg: Config, tables, block: Optional[int] = None,
+                 interpret: Optional[bool] = None,
+                 scan_tol: float = 1e-10):
         self.cfg = cfg
         self.tables = tables
+        self.scan_tol = scan_tol
+        auto_block = block is None
+        if auto_block:
+            block = 2048
         Mh, G = cfg.M // 2, cfg.G
         self.Mh, self.G = Mh, G
         self.Bh = Mh * G
@@ -499,17 +579,31 @@ class PallasEngine:
                 raise ValueError(f"N={cfg.N} has no power-of-two block")
         # VMEM budget: the fused kernel keeps ~8 double-buffered block
         # planes live (2 in + 6 out); Bh*block <= 2^17 f32 elements keeps
-        # that under the 16 MiB scoped-vmem limit with headroom for
-        # transients (verified empirically: Bh=64 x blk=4096 ooms, x2048
-        # fits).
+        # the working set comfortable (Mosaic's scoped-VMEM limit is
+        # raised to _VMEM_LIMIT, but Bh=64 x blk=4096 still fails to
+        # compile at high fusion depth).
         while self.Bh * self.block > (1 << 17) and self.block > 128:
             self.block //= 2
-        # BDF2 prefers the K=8 fusion regime (Bh*block <= 2^16) when the
-        # block stays large enough to amortise the scan: measured 34.5G at
-        # (Bh=16, block=4096, K=8) vs 32.4G at (block=8192, K=2).
-        if (cfg.ts_method == 3 and self.Bh * self.block > (1 << 16)
-                and self.block >= 8192):
+        # BDF2 prefers the K=8 fusion regime at Bh*block <= 2^16:
+        # measured (16-group S_8, Bh=64) 32.6G at (blk=1024, K=8) vs
+        # 28.2G at (blk=2048, K=8) and 29.6G at (blk=2048, K=2); but not
+        # below blk=512 (128-group S_4, Bh=256: 21.1G at blk=512 vs
+        # 15.8G at blk=256).
+        while (cfg.ts_method == 3 and self.Bh * self.block > (1 << 16)
+                and self.block > 512):
             self.block //= 2
+        # Small batches (Bh < 16) underfill grid visits, and the serial
+        # inter-block carry makes the per-visit cost (~2 us) the floor:
+        # grow the block until Bh*block ~ 2^16 so each visit carries a
+        # full-size workload. Measured: gray S_8 (Bh=4) 10.5G at
+        # blk=16384 vs 7.7G at blk=4096 (and 9.1G for the XLA engine).
+        # Only in auto mode — an explicit `block` is respected so tests
+        # and callers can pin the inter-block decomposition.
+        if auto_block:
+            while (self.Bh * self.block * 2 <= (1 << 16)
+                   and self.block < cfg.N
+                   and cfg.N % (self.block * 2) == 0):
+                self.block *= 2
         # Mosaic requires the lane (last) block dim to be a multiple of 128
         # or equal to the full array dim. Small reference decks (N=100, 50)
         # have no such power-of-two divisor — run them as ONE whole-N block
@@ -520,6 +614,20 @@ class PallasEngine:
 
         # Reuse the XLA fast engine for coefficients, BCs and layout maps.
         self._fe = fs.FastEngine(cfg, tables, dtype=jnp.float32, chunk=self.block)
+
+        # Accuracy-bounded scan truncation (see _scan_npass): per-kind
+        # pass counts from the largest carry multiplier; the shared mask
+        # input is sized to the largest count (min 1 so the block spec
+        # stays non-degenerate when every scan is a no-op).
+        self.scan_npass = {
+            kind: _scan_npass(
+                float(np.max(np.asarray(kc.a, dtype=np.float64))),
+                self.block, scan_tol)
+            for kind, kc in self._fe.kcs.items()
+        }
+        self._mask_count = max(1, *self.scan_npass.values())
+        self.scan_masks = jnp.asarray(
+            _scan_masks(self.block)[:self._mask_count])
         self.reflective = self._fe.bc_pos_fixed is None
         psrc = np.asarray(tables.psi_source, dtype=np.float64)
         bc_neg = np.asarray(self._fe.bc_neg, dtype=np.float32)
@@ -569,16 +677,22 @@ class PallasEngine:
         perm_spec = pl.BlockSpec(
             (Bh, Bh), lambda h, i: (h * 0, h * 0), memory_space=pltpu.VMEM
         )
+        mask_spec = pl.BlockSpec(
+            (self._mask_count, 1, blk), lambda h, i: (h * 0, h * 0, h * 0),
+            memory_space=pltpu.VMEM,
+        )
 
         kernel = _make_kernel(
             kind, Bh=Bh, blk=blk, Mh=self.Mh, G=self.G,
             reflective=self.reflective, s=float(kc.s),
+            npass=self.scan_npass[kind],
         )
 
         call = pl.pallas_call(
             kernel,
             grid=(2, nb),
-            in_specs=[coef_spec, bc_spec, perm_spec] + [plane_spec] * n_in,
+            in_specs=[coef_spec, bc_spec, perm_spec, mask_spec]
+            + [plane_spec] * n_in,
             out_specs=(plane_spec, plane_spec),
             out_shape=(
                 jax.ShapeDtypeStruct((2, Bh, N), jnp.float32),
@@ -590,6 +704,7 @@ class PallasEngine:
                 pltpu.VMEM((Bh, 1), jnp.float32),   # half tail
             ],
             interpret=self.interpret,
+            compiler_params=_params(self.interpret),
         )
         return call
 
@@ -610,6 +725,10 @@ class PallasEngine:
         perm_spec = pl.BlockSpec(
             (Bh, Bh), lambda h, i: (h * 0, h * 0), memory_space=pltpu.VMEM
         )
+        mask_spec = pl.BlockSpec(
+            (self._mask_count, 1, blk), lambda h, i: (h * 0, h * 0, h * 0),
+            memory_space=pltpu.VMEM,
+        )
 
         kernel = _make_bdf2_kernel(
             Bh=Bh, blk=blk, Mh=self.Mh, G=self.G,
@@ -619,6 +738,9 @@ class PallasEngine:
             s_bdf=float(self._fe.kcs[BDF].s),
             K=K,
             symmetric_half=self.cfg.bdf2_symmetric_half,
+            npass_be=self.scan_npass[BE],
+            npass_cn=self.scan_npass[CN],
+            npass_bdf=self.scan_npass[BDF],
         )
 
         plane = jax.ShapeDtypeStruct((2, Bh, N), jnp.float32)
@@ -626,11 +748,12 @@ class PallasEngine:
             kernel,
             grid=(2, nb),
             in_specs=[coef_spec, coef_spec, coef_spec, bc_spec, perm_spec,
-                      plane_spec, plane_spec],
+                      mask_spec, plane_spec, plane_spec],
             out_specs=(plane_spec,) * 6,
             out_shape=(plane,) * 6,
             scratch_shapes=[pltpu.VMEM((Bh, 1), jnp.float32)] * (6 * K),
             interpret=self.interpret,
+            compiler_params=_params(self.interpret),
         )
 
     # -- stepping ---------------------------------------------------------------
@@ -643,7 +766,8 @@ class PallasEngine:
             ins = (st.e0, st.e1, st.p1)
         else:
             ins = (st.e0, st.e1)
-        return self._calls[kind](coef, bc, self.refl_P, *ins)
+        return self._calls[kind](coef, bc, self.refl_P, self.scan_masks,
+                                 *ins)
 
     def step(self, st: fs.FlatState) -> fs.FlatState:
         cfg = self.cfg
@@ -674,40 +798,44 @@ class PallasEngine:
         perm_spec = pl.BlockSpec(
             (Bh, Bh), lambda h, i: (h * 0, h * 0), memory_space=pltpu.VMEM
         )
+        mask_spec = pl.BlockSpec(
+            (self._mask_count, 1, blk), lambda h, i: (h * 0, h * 0, h * 0),
+            memory_space=pltpu.VMEM,
+        )
         kernel = _make_multistep_kernel(
             kind, Bh=Bh, blk=blk, reflective=self.reflective,
             s=float(self._fe.kcs[kind].s), K=K,
+            npass=self.scan_npass[kind],
         )
         plane = jax.ShapeDtypeStruct((2, Bh, N), jnp.float32)
         return pl.pallas_call(
             kernel,
             grid=(2, nb),
-            in_specs=[coef_spec, bc_spec, perm_spec, plane_spec, plane_spec],
+            in_specs=[coef_spec, bc_spec, perm_spec, mask_spec,
+                      plane_spec, plane_spec],
             out_specs=(plane_spec,) * 4,
             out_shape=(plane,) * 4,
             scratch_shapes=[pltpu.VMEM((Bh, 1), jnp.float32)] * (2 * K),
             interpret=self.interpret,
+            compiler_params=_params(self.interpret),
         )
 
     def max_steps_per_launch(self) -> int:
-        """Largest K the fused multi-step kernel compiles with (empirical
-        scoped-VMEM boundaries on v5e, verified only at the shapes noted).
-        BDF2 keeps ~8 planes live: K=8 needs Bh <= 16 AND Bh*block <=
-        2^16 (Bh=64 fails Mosaic compile at K>=4 even with tiny blocks);
-        Bh <= 64 with Bh*block <= 2^17 admits K=2; else single steps.
-        BE/CN keep only 4 planes live: K=16 verified at Bh <= 16
-        (block 8192: BE 26.4G, CN 22.1G sub-updates/s), else K=2."""
+        """Largest K the fused multi-step kernel compiles with. Round-1's
+        tight limits (K=8 only at Bh <= 16; K=2 at Bh=64) were artifacts
+        of Mosaic's default 16 MiB scoped-VMEM budget; with the raised
+        _VMEM_LIMIT, K=8 BDF2 compiles and wins (or ties) at every
+        tested shape: Bh=16/blk=4096, Bh=64/blk=1024 (32.6G), and
+        Bh=256/blk=512 (21.1G). K=16 still fails Mosaic compile (hang)
+        for BDF2. BE/CN keep only 4 planes live: K=16 verified at
+        Bh <= 16 (block 8192: BE 26.4G, CN 22.1G sub-updates/s)."""
         p = self.Bh * self.block
         if self.cfg.ts_method in (1, 2):
             if self.Bh <= 16:
                 return 16  # verified at Bh=16, block=8192
-            return 2
-        # BDF2: K=8 verified up to Bh=16 (gray shapes); Bh=64 fails to
-        # compile at K>=4 even with tiny blocks, so only K=2 there.
-        if p <= (1 << 16) and self.Bh <= 16:
             return 8
-        if p <= (1 << 17) and self.Bh <= 64:
-            return 2
+        if p <= (1 << 17):
+            return 8
         return 1
 
     def multi_step(self, st: fs.FlatState, K: int) -> fs.FlatState:
@@ -721,7 +849,8 @@ class PallasEngine:
                 call = self._build_multistep_call(kind, K)
                 self._multi_calls[(kind, K)] = call
             ne0, ne1, np0, np1 = call(
-                self.coef[kind], self.bc, self.refl_P, st.e0, st.e1
+                self.coef[kind], self.bc, self.refl_P, self.scan_masks,
+                st.e0, st.e1
             )
             return fs.FlatState(ne0, ne1, np0, np1, st.h0, st.h1)
         call = self._bdf2_calls.get(K)
@@ -730,7 +859,7 @@ class PallasEngine:
             self._bdf2_calls[K] = call
         ne0, ne1, nh0, nh1, np0, np1 = call(
             self.coef[BE], self.coef[CN], self.coef[BDF],
-            self.bc, self.refl_P, st.e0, st.e1,
+            self.bc, self.refl_P, self.scan_masks, st.e0, st.e1,
         )
         return fs.FlatState(ne0, ne1, np0, np1, nh0, nh1)
 

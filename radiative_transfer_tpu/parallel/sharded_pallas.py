@@ -113,9 +113,11 @@ class ShardedPallasEngine:
 
     def __init__(self, cfg: Config, tables, mesh: Mesh, block: int = 2048,
                  spatial_axis: str = "x", group_axis: Optional[str] = "g",
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 scan_tol: float = 1e-10):
         self.cfg = cfg
         self.tables = tables
+        self.scan_tol = scan_tol
         self.mesh = mesh
         self.axis = spatial_axis
         self.K = mesh.shape[spatial_axis]
@@ -167,6 +169,16 @@ class ShardedPallasEngine:
             self._refl_flip = np.asarray(self._fe.refl_flip)
 
         self._kind_s = {k: float(kc.s) for k, kc in self._fe.kcs.items()}
+        # Accuracy-bounded scan truncation (ops/pallas_sweep._scan_npass).
+        self.scan_npass = {
+            kind: ps._scan_npass(
+                float(np.max(np.asarray(kc.a, dtype=np.float64))),
+                self.block, scan_tol)
+            for kind, kc in self._fe.kcs.items()
+        }
+        self._mask_count = max(1, *self.scan_npass.values())
+        self.scan_masks = jnp.asarray(
+            ps._scan_masks(self.block)[:self._mask_count])
         tb = {
             "bc_neg": self._fe.bc_neg,
             "bc_pos": (
@@ -239,16 +251,21 @@ class ShardedPallasEngine:
             (1, Bh, 1), lambda h, i: (h, h * 0, h * 0),
             memory_space=pltpu.VMEM,
         )
+        mask_spec = pl.BlockSpec(
+            (self._mask_count, 1, blk), lambda h, i: (h * 0, h * 0, h * 0),
+            memory_space=pltpu.VMEM,
+        )
 
         n_planes = {BE: 2, CN: 3, BDF: 6}[kind]
-        in_specs = [coef_spec, corr_spec]
+        in_specs = [coef_spec, mask_spec, corr_spec]
         if kind == CN:
             in_specs += [corr_spec, halo_spec]
         elif kind == BDF:
             in_specs += [corr_spec, corr_spec, halo_spec, halo_spec]
         in_specs += [plane_spec] * n_planes
 
-        kernel = ps._make_sharded_kernel(kind, Bh=Bh, blk=blk)
+        kernel = ps._make_sharded_kernel(kind, Bh=Bh, blk=blk,
+                                         npass=self.scan_npass[kind])
         plane = jax.ShapeDtypeStruct((2, Bh, N), jnp.float32)
         return pl.pallas_call(
             kernel,
@@ -258,6 +275,7 @@ class ShardedPallasEngine:
             out_shape=(plane, plane),
             scratch_shapes=[pltpu.VMEM((Bh, 1), jnp.float32)] * 3,
             interpret=self.interpret,
+            compiler_params=ps._params(self.interpret),
         )
 
     # -- sharded pieces (inside shard_map, local blocks) ----------------------
@@ -319,7 +337,8 @@ class ShardedPallasEngine:
         if cfg.ts_method == 1:
             kB = tb["k1"]
             z0, z1 = self._calls[BE](
-                kB["coef"], self._corr(st.inc_e, kB["cc"]), st.e0, st.e1
+                kB["coef"], self.scan_masks,
+                self._corr(st.inc_e, kB["cc"]), st.e0, st.e1
             )
             inc = self._exchange(BE, tb, z1[:, :, -1])
             return ZState(z0, z1, st.e0, st.e1, st.h0, st.h1,
@@ -331,7 +350,8 @@ class ShardedPallasEngine:
                 st.e1[:, :, -1:] + kC["A"][..., None] * st.inc_e
             )
             z0, z1 = self._calls[CN](
-                kC["coef"], ce, ce, halo, st.e0, st.e1, st.e1
+                kC["coef"], self.scan_masks, ce, ce, halo,
+                st.e0, st.e1, st.e1
             )
             inc = self._exchange(CN, tb, z1[:, :, -1])
             return ZState(z0, z1, st.e0, st.e1, st.h0, st.h1,
@@ -345,12 +365,13 @@ class ShardedPallasEngine:
             st.e1[:, :, -1:] + kD["A"][..., None] * st.inc_e
         )
         # Phase 0: BE(dt/2) predictor.
-        b0, b1 = self._calls[BE](kB["coef"], ce_in, st.e0, st.e1)
+        b0, b1 = self._calls[BE](kB["coef"], self.scan_masks, ce_in,
+                                 st.e0, st.e1)
         inc0 = self._exchange(BE, tb, b1[:, :, -1])
         # Phase 1: CN(dt/2) corrector; prev = input ends.
         c0, c1 = self._calls[CN](
-            kC["coef"], self._corr(inc0, kB["cc"]), ce_in, halo_e,
-            b0, b1, st.e1,
+            kC["coef"], self.scan_masks, self._corr(inc0, kB["cc"]),
+            ce_in, halo_e, b0, b1, st.e1,
         )
         inc1 = self._exchange(CN, tb, c1[:, :, -1])
         # Half snapshot: mu<0 = CN output, mu>0 = phase-0 BE output
@@ -363,7 +384,7 @@ class ShardedPallasEngine:
             inc_h = jnp.concatenate([inc1[:1], inc0[1:]], axis=0)
         # Phase 2: second BE(dt/2) predictor.
         d0_, d1_ = self._calls[BE](
-            kB["coef"], self._corr(inc1, kC["cc"]), c0, c1
+            kB["coef"], self.scan_masks, self._corr(inc1, kC["cc"]), c0, c1
         )
         inc2 = self._exchange(BE, tb, d1_[:, :, -1])
         # Phase 3: BDF2 corrector (prev = input ends, half = snapshot).
@@ -371,7 +392,7 @@ class ShardedPallasEngine:
             h1z[:, :, -1:] + tb["A_h"][..., None] * inc_h
         )
         f0, f1 = self._calls[BDF](
-            kD["coef"], self._corr(inc2, kB["cc"]), ce_in,
+            kD["coef"], self.scan_masks, self._corr(inc2, kB["cc"]), ce_in,
             self._corr(inc_h, tb["cc_h"]), halo_e, halo_h,
             d0_, d1_, st.e0, st.e1, h0z, h1z,
         )
