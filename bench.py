@@ -67,7 +67,7 @@ def tpu_updates_per_s(M=32, G=1, N=1 << 20, steps=64, dtype="float32"):
 
         K = 8
         steps = max(steps - steps % K, K)
-        eng = PallasEngine(cfg, tables, block=4096)
+        eng = PallasEngine(cfg, tables)  # auto block (4096 here)
         state = eng.init_state()
 
         @jax.jit

@@ -84,7 +84,7 @@ def run_case(engine, cfg, dtype_name, mesh_str="1x1"):
             ShardedPallasEngine,
         )
 
-        eng = ShardedPallasEngine(cfg, tables, _mk_mesh(mesh_str), block=4096)
+        eng = ShardedPallasEngine(cfg, tables, _mk_mesh(mesh_str))
         state = eng.init_state()
 
         def run(s):
@@ -105,7 +105,7 @@ def run_case(engine, cfg, dtype_name, mesh_str="1x1"):
     elif engine == "pallas":
         from radiative_transfer_tpu.ops.pallas_sweep import PallasEngine
 
-        eng = PallasEngine(cfg, tables, block=4096)
+        eng = PallasEngine(cfg, tables)  # auto-tuned block
         K = eng.max_steps_per_launch()
         while steps % K:
             K //= 2

@@ -82,7 +82,7 @@ def main():
                 ShardedPallasEngine,
             )
 
-            eng = ShardedPallasEngine(cfg, tables, mesh, block=4096)
+            eng = ShardedPallasEngine(cfg, tables, mesh)
         else:
             from radiative_transfer_tpu.parallel.sharded_fast import (
                 ShardedFastEngine,

@@ -106,6 +106,11 @@ def main(argv=None) -> int:
                     help="run in K-step chunks, printing the per-group "
                          "balance diagnostic and step metrics after each "
                          "(general engine)")
+    ap.add_argument("--scan-tol", type=float, default=1e-10,
+                    help="pallas engines: accuracy bound for truncating "
+                         "prefix-scan passes (neglected upwind tail "
+                         "a^(2^k)/(1-a) < tol; 0 = full scan). See "
+                         "docs/PERFORMANCE.md.")
     ap.add_argument("--mesh", default=None, metavar="GxX",
                     help="multi-chip solve on a (group, spatial) device "
                          "mesh, e.g. 2x4 (requires G divisible by the "
@@ -198,7 +203,7 @@ def _run(args, cfg, dtype):
             if args.dtype != "float32":
                 print("note: the pallas engine is float32-only; "
                       "--dtype float64 runs use --engine fast/general")
-            eng = PallasEngine(cfg, tables)
+            eng = PallasEngine(cfg, tables, scan_tol=args.scan_tol)
         else:
             from .ops.fast_sweep import FastEngine
 
@@ -304,7 +309,8 @@ def _run_sharded(args, cfg, dtype):
 
             if args.dtype != "float32":
                 print("note: the sharded pallas engine is float32-only")
-            eng = ShardedPallasEngine(cfg, tables, mesh)
+            eng = ShardedPallasEngine(cfg, tables, mesh,
+                                      scan_tol=args.scan_tol)
         else:
             eng = sharded_fast.ShardedFastEngine(cfg, tables, mesh,
                                                  dtype=dtype)

@@ -607,9 +607,12 @@ class PallasEngine:
         # Mosaic requires the lane (last) block dim to be a multiple of 128
         # or equal to the full array dim. Small reference decks (N=100, 50)
         # have no such power-of-two divisor — run them as ONE whole-N block
-        # (grid (2, 1)); the in-block scan handles any length.
-        if not interpret and self.block % 128 != 0 and self.block != cfg.N:
-            self.block = cfg.N
+        # (grid (2, 1)); the in-block scan handles any length. Auto mode
+        # applies the same fallback in interpret so CPU runs use the same
+        # decomposition as the chip; an explicit block stays pinned there.
+        if self.block % 128 != 0 and self.block != cfg.N:
+            if not interpret or auto_block:
+                self.block = cfg.N
         self.nblocks = cfg.N // self.block
 
         # Reuse the XLA fast engine for coefficients, BCs and layout maps.

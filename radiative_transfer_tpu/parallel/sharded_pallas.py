@@ -111,13 +111,17 @@ def _pack_cc(d0: np.ndarray, a: np.ndarray) -> jnp.ndarray:
 class ShardedPallasEngine:
     """Drop-in PallasEngine running the whole time loop on a device mesh."""
 
-    def __init__(self, cfg: Config, tables, mesh: Mesh, block: int = 2048,
+    def __init__(self, cfg: Config, tables, mesh: Mesh,
+                 block: Optional[int] = None,
                  spatial_axis: str = "x", group_axis: Optional[str] = "g",
                  interpret: Optional[bool] = None,
                  scan_tol: float = 1e-10):
         self.cfg = cfg
         self.tables = tables
         self.scan_tol = scan_tol
+        auto_block = block is None
+        if auto_block:
+            block = 2048
         self.mesh = mesh
         self.axis = spatial_axis
         self.K = mesh.shape[spatial_axis]
@@ -153,6 +157,14 @@ class ShardedPallasEngine:
             # No useful power-of-two divisor (odd N_loc): one block per
             # shard — the in-register scan handles any width.
             blk = self.N_loc
+        if auto_block:
+            # Small local batches underfill grid visits (the serial
+            # inter-block carry makes per-visit latency the floor): grow
+            # toward Bh_l*blk ~ 2^16, as in the single-chip engine.
+            while (self.Bh_l * blk * 2 <= (1 << 16)
+                   and blk < self.N_loc
+                   and self.N_loc % (blk * 2) == 0):
+                blk *= 2
         self.block = blk
         self.nblocks = self.N_loc // blk
 

@@ -130,3 +130,63 @@ def test_multi_step_fusion_be_cn(ts_method):
     np.testing.assert_array_equal(
         np.asarray(st_fused.p1), np.asarray(st_loop.p1)
     )
+
+
+# -- accuracy-bounded scan truncation (ops/pallas_sweep._scan_npass) ---------
+
+def test_scan_npass_bound():
+    """The pass-count bound: tol=0 disables truncation; a=0 needs no
+    passes; a -> 1 needs all; count is monotone in a and in 1/tol."""
+    blk = 4096
+    full = len(pallas_sweep._scan_strides(blk))
+    assert pallas_sweep._scan_npass(0.5, blk, 0.0) == full
+    assert pallas_sweep._scan_npass(0.0, blk, 1e-10) == 0
+    assert pallas_sweep._scan_npass(1.0 - 1e-15, blk, 1e-10) == full
+    n_loose = pallas_sweep._scan_npass(0.3, blk, 1e-6)
+    n_tight = pallas_sweep._scan_npass(0.3, blk, 1e-12)
+    assert n_loose <= n_tight < full
+    assert (pallas_sweep._scan_npass(0.1, blk, 1e-10)
+            <= pallas_sweep._scan_npass(0.9, blk, 1e-10))
+    # the bound itself: after k passes the neglected tail is
+    # a^(2^k)/(1-a) — verify directly for a mid-range a
+    a, tol = 0.6, 1e-10
+    k = pallas_sweep._scan_npass(a, blk, tol)
+    assert a ** (1 << k) / (1 - a) < tol
+    if k > 0:
+        assert a ** (1 << (k - 1)) / (1 - a) >= tol
+
+
+def test_scan_truncation_accuracy():
+    """Default scan_tol vs the full scan: differences bounded far below
+    the engines' f32 drift floor, on a deck sized so truncation actually
+    removes passes."""
+    cfg = load_config(conftest.reference_deck("single_group.prm"),
+                      max_timesteps=12, N=512, dt=2e-6)
+    tables, _, _ = transport.build_tables(cfg)
+    eng_t = pallas_sweep.PallasEngine(cfg, tables)
+    eng_f = pallas_sweep.PallasEngine(cfg, tables, scan_tol=0.0)
+    full = len(pallas_sweep._scan_strides(eng_t.block))
+    assert max(eng_t.scan_npass.values()) < full, (
+        f"deck does not exercise truncation: {eng_t.scan_npass}"
+    )
+    st_t = eng_t.solve(eng_t.init_state(), 12)
+    st_f = eng_f.solve(eng_f.init_state(), 12)
+    a = np.asarray(eng_f.ends(st_f))
+    b = np.asarray(eng_t.ends(st_t))
+    rel = np.max(np.abs(a - b)) / np.max(np.abs(a))
+    assert rel < 1e-7, rel
+
+
+def test_scan_npass_llnl_keeps_more_passes():
+    """Optically-thin LLNL groups have carry multipliers near 1 at the
+    shipped dt, so the truncation keeps (nearly) the full scan there,
+    while the gray deck truncates aggressively."""
+    cfg_g = load_config(conftest.reference_deck("single_group.prm"))
+    cfg_l = load_config(conftest.reference_deck("llnl_slab_test.prm"))
+    tg, _, _ = transport.build_tables(cfg_g)
+    tl, _, _ = transport.build_tables(cfg_l)
+    eg = pallas_sweep.PallasEngine(cfg_g, tg)
+    el = pallas_sweep.PallasEngine(cfg_l, tl)
+    full_l = len(pallas_sweep._scan_strides(el.block))
+    assert max(el.scan_npass.values()) == full_l
+    assert max(eg.scan_npass.values()) < full_l
