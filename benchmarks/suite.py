@@ -25,7 +25,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _mk_cfg(M, G, N, steps, use_correction=False):
+_C_LIGHT = 299.79245800  # cm/sh (Constants.h)
+
+
+def _mk_cfg(M, G, N, steps, use_correction=False, courant=0.4):
+    """Workload config. dt derives from a cell Courant number (as in
+    bench.py): the BDF2 4-phase cycle is unstable above cell Courant
+    ~0.5 (docs/QUIRKS.md "BDF2 stability envelope"), so a fixed dt at
+    high resolution would time exponentially diverging state."""
     from radiative_transfer_tpu.config.config import Config
 
     return Config(
@@ -35,7 +42,8 @@ def _mk_cfg(M, G, N, steps, use_correction=False):
         rho=1.0, kappa_grey=1.0, T=1.0,
         V=1.0 if use_correction else 0.0,
         use_correction=use_correction,
-        ts_method=3, dt=1e-5, max_timesteps=steps,
+        ts_method=3, dt=courant * (1.0 / N) / _C_LIGHT,
+        max_timesteps=steps,
         include_validation=False,
     )
 
@@ -66,7 +74,7 @@ def _mk_mesh(mesh_str):
     return Mesh(_np.asarray(devs[:nx]), ("x",))
 
 
-def run_case(engine, cfg, dtype_name, mesh_str="1x1"):
+def run_case(engine, cfg, dtype_name, mesh_str="1x1", scan_tol=1e-10):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -84,7 +92,8 @@ def run_case(engine, cfg, dtype_name, mesh_str="1x1"):
             ShardedPallasEngine,
         )
 
-        eng = ShardedPallasEngine(cfg, tables, _mk_mesh(mesh_str))
+        eng = ShardedPallasEngine(cfg, tables, _mk_mesh(mesh_str),
+                                  scan_tol=scan_tol)
         state = eng.init_state()
 
         def run(s):
@@ -105,7 +114,7 @@ def run_case(engine, cfg, dtype_name, mesh_str="1x1"):
     elif engine == "pallas":
         from radiative_transfer_tpu.ops.pallas_sweep import PallasEngine
 
-        eng = PallasEngine(cfg, tables)  # auto-tuned block
+        eng = PallasEngine(cfg, tables, scan_tol=scan_tol)  # auto block
         K = eng.max_steps_per_launch()
         while steps % K:
             K //= 2
@@ -156,26 +165,32 @@ def main():
     on_tpu = platform != "cpu"
     scale = 1 if not args.quick else 16
 
-    # (name, M, G, N, steps, correction)
+    # (name, M, G, N, steps, correction, scan_tol)
+    # The full-scan row pins scan_tol=0 (all prefix-scan passes) to show
+    # the accuracy-bounded truncation win explicitly.
     cases = [
-        ("gray_hires_s32", 32, 1, (1 << 20) // scale, 64, False),
-        ("gray_s8", 8, 1, (1 << 18) // scale, 64, False),
-        ("mg16_correction_s8", 8, 16, (1 << 16) // scale, 32, True),
-        ("mg128_s4", 4, 128, (1 << 13) // scale, 32, False),
+        ("gray_hires_s32", 32, 1, (1 << 20) // scale, 64, False, 1e-10),
+        ("gray_hires_s32[full-scan]",
+         32, 1, (1 << 20) // scale, 64, False, 0.0),
+        ("gray_s8", 8, 1, (1 << 18) // scale, 64, False, 1e-10),
+        ("mg16_correction_s8", 8, 16, (1 << 16) // scale, 32, True, 1e-10),
+        ("mg128_s4", 4, 128, (1 << 13) // scale, 32, False, 1e-10),
     ]
     engines = args.engines.split(",")
 
     rows = []
-    for name, M, G, N, steps, corr in cases:
+    for name, M, G, N, steps, corr, tol in cases:
         for engine in engines:
             if ("pallas" in engine) and not on_tpu and N > (1 << 14):
                 continue  # interpreter too slow for big cases
+            if "full-scan" in name and "pallas" not in engine:
+                continue  # the control row only varies the pallas scan
             dtypes = (["float32"] if "pallas" in engine
                       else ["float32", "float64"])
             for dt in dtypes:
                 try:
                     ups = run_case(engine, _mk_cfg(M, G, N, steps, corr),
-                                   dt, args.mesh)
+                                   dt, args.mesh, scan_tol=tol)
                     rec = {
                         "case": name, "engine": engine, "dtype": dt,
                         "M": M, "G": G, "N": N, "steps": steps,
@@ -190,9 +205,10 @@ def main():
                         "error": f"{type(e).__name__}",
                     }), flush=True)
 
-    print("\ncase                  engine   dtype    G updates/s", file=sys.stderr)
+    print("\ncase                        engine   dtype    G updates/s",
+          file=sys.stderr)
     for r in rows:
-        print(f"{r['case']:<21} {r['engine']:<8} {r['dtype']:<8} "
+        print(f"{r['case']:<27} {r['engine']:<8} {r['dtype']:<8} "
               f"{r['updates_per_s'] / 1e9:8.2f}", file=sys.stderr)
 
 

@@ -151,7 +151,9 @@ class ShardedPallasEngine:
         while (blk * 2 <= min(block, self.N_loc)
                and self.N_loc % (blk * 2) == 0):
             blk *= 2
-        while self.Bh_l * blk > (1 << 17) and blk > 128:
+        # VMEM cap in PACKED rows (both halves share the row dim,
+        # rows = 2*Bh_l — see _build_call).
+        while 2 * self.Bh_l * blk > (1 << 17) and blk > 128:
             blk //= 2
         if blk < min(8, self.N_loc):
             # No useful power-of-two divisor (odd N_loc): one block per
@@ -160,8 +162,9 @@ class ShardedPallasEngine:
         if auto_block:
             # Small local batches underfill grid visits (the serial
             # inter-block carry makes per-visit latency the floor): grow
-            # toward Bh_l*blk ~ 2^16, as in the single-chip engine.
-            while (self.Bh_l * blk * 2 <= (1 << 16)
+            # toward rows*blk ~ 2^16 full-size visits, as in the
+            # single-chip engine (rows = 2*Bh_l, packed halves).
+            while (2 * self.Bh_l * blk * 2 <= (1 << 16)
                    and blk < self.N_loc
                    and self.N_loc % (blk * 2) == 0):
                 blk *= 2
@@ -245,26 +248,33 @@ class ShardedPallasEngine:
     # -- pallas call builders -------------------------------------------------
 
     def _build_call(self, kind: int):
+        """Packed-kernel launcher: both direction halves ride the row
+        (sublane) dimension (rows = 2*Bh_l) on a 1-D grid of nblocks
+        visits — halves are independent under zero-inflow, so
+        serialising them on the grid (as the single-chip kernel must,
+        for the reflective coupling) would only double the sequential
+        visit count and waste sublanes at small Bh_l. The (2, Bh_l, X)
+        <-> (rows, X) conversions are free leading-dim collapses done
+        here, outside the kernel."""
         Bh, blk, nb = self.Bh_l, self.block, self.nblocks
+        rows = 2 * Bh
         N = self.N_loc
 
         plane_spec = pl.BlockSpec(
-            (1, Bh, blk), lambda h, i: (h, h * 0, i), memory_space=pltpu.VMEM
+            (rows, blk), lambda i: (i * 0, i), memory_space=pltpu.VMEM
         )
         coef_spec = pl.BlockSpec(
-            (1, Bh, ps._NCOEF), lambda h, i: (h, h * 0, h * 0),
+            (rows, ps._NCOEF), lambda i: (i * 0, i * 0),
             memory_space=pltpu.VMEM,
         )
         corr_spec = pl.BlockSpec(
-            (1, Bh, 4), lambda h, i: (h, h * 0, h * 0),
-            memory_space=pltpu.VMEM,
+            (rows, 4), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM
         )
         halo_spec = pl.BlockSpec(
-            (1, Bh, 1), lambda h, i: (h, h * 0, h * 0),
-            memory_space=pltpu.VMEM,
+            (rows, 1), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM
         )
         mask_spec = pl.BlockSpec(
-            (self._mask_count, 1, blk), lambda h, i: (h * 0, h * 0, h * 0),
+            (self._mask_count, 1, blk), lambda i: (i * 0, i * 0, i * 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -276,19 +286,27 @@ class ShardedPallasEngine:
             in_specs += [corr_spec, corr_spec, halo_spec, halo_spec]
         in_specs += [plane_spec] * n_planes
 
-        kernel = ps._make_sharded_kernel(kind, Bh=Bh, blk=blk,
-                                         npass=self.scan_npass[kind])
-        plane = jax.ShapeDtypeStruct((2, Bh, N), jnp.float32)
-        return pl.pallas_call(
+        kernel = ps._make_sharded_packed_kernel(
+            kind, rows=rows, blk=blk, npass=self.scan_npass[kind])
+        plane = jax.ShapeDtypeStruct((rows, N), jnp.float32)
+        raw = pl.pallas_call(
             kernel,
-            grid=(2, nb),
+            grid=(nb,),
             in_specs=in_specs,
             out_specs=(plane_spec, plane_spec),
             out_shape=(plane, plane),
-            scratch_shapes=[pltpu.VMEM((Bh, 1), jnp.float32)] * 3,
+            scratch_shapes=[pltpu.VMEM((rows, 1), jnp.float32)] * 3,
             interpret=self.interpret,
             compiler_params=ps._params(self.interpret),
         )
+
+        def call(coef, masks, *rest):
+            packed = [coef.reshape(rows, ps._NCOEF), masks]
+            packed += [a.reshape((rows,) + a.shape[2:]) for a in rest]
+            z0, z1 = raw(*packed)
+            return z0.reshape(2, Bh, N), z1.reshape(2, Bh, N)
+
+        return call
 
     # -- sharded pieces (inside shard_map, local blocks) ----------------------
 
