@@ -99,6 +99,21 @@ def run_case(engine, cfg, dtype_name, mesh_str="1x1", scan_tol=1e-10):
         def run(s):
             return eng.solve(s, num_steps=steps)
 
+    elif engine == "halo-pallas":
+        # Fused-kernel multi-chip path (one halo exchange per K steps);
+        # at --mesh 1x1 this bounds the halo+fixup overhead vs plain
+        # pallas — the per-chip rate multi-chip runs keep.
+        from radiative_transfer_tpu.parallel.halo_pallas import (
+            HaloPallasEngine,
+        )
+
+        eng = HaloPallasEngine(cfg, tables, _mk_mesh(mesh_str),
+                               scan_tol=scan_tol)
+        state = eng.init_state()
+
+        def run(s):
+            return eng.solve(s, num_steps=steps)
+
     elif engine == "sharded-fast":
         from radiative_transfer_tpu.parallel.sharded_fast import (
             ShardedFastEngine,

@@ -626,6 +626,167 @@ def _make_bdf2_kernel(*, Bh: int, blk: int, Mh: int, G: int,
     return kernel
 
 
+def _make_halo_multistep_kernel(kind: int, *, rows: int, blk: int,
+                                K: int, npass: int = None):
+    """Seeded packed K-step BE/CN kernel for the halo-overlap multi-chip
+    engine (parallel/halo_pallas.py).
+
+    Differences from _make_multistep_kernel:
+
+    * both direction halves ride the row (sublane) dimension
+      (rows = 2*Bh_local) on a 1-D grid — there is no intra-kernel
+      reflective coupling to serialise the halves for (the global
+      mu<0 -> mu>0 reflective jump is handled by the engine with a
+      recorded-outflow fixup launch);
+    * per-(row, step) seed VALUES replace the s*bc scalar fill (the
+      engine pre-folds the fill multiplier s, and seeds differ per
+      shard / per fixup substep);
+    * a `reset` block index (SMEM scalar) at which the carries and
+      upwind tails are (re)initialised from the seeds, so a halo
+      prefix of zero-seeded absorber cells can precede the true
+      domain (shard 0 skips its garbage halo; other shards reset at
+      block 0 with zero seeds);
+    * the end-of-chain carries (the physical outflow edge values per
+      step, see parallel/sharded_pallas._exchange) are recorded to a
+      small output for the reflective fixup.
+    """
+    assert kind in (BE, CN)
+
+    def kernel(coef_ref, seeds_ref, reset_ref, m_ref, e0r, e1r,
+               o0r, o1r, op0r, op1r, oc_ref, *scratch):
+        assert len(scratch) == 2 * K
+        carries = scratch[:K]
+        etails = scratch[K:]
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            for k in range(K):
+                carries[k][:] = jnp.zeros_like(carries[k])
+                etails[k][:] = jnp.zeros_like(etails[k])
+
+        # Re-seed where the true domain starts (program order: after the
+        # zero init, so reset==0 applies seeds on top of the zero fill).
+        @pl.when(i == reset_ref[0, 0])
+        def _():
+            sv = seeds_ref[...]                     # (rows, K)
+            for k in range(K):
+                carries[k][:] = sv[:, k:k + 1]
+                etails[k][:] = jnp.zeros_like(etails[k])
+
+        c = coef_ref[...]                           # (rows, NCOEF)
+        kc = _Coef(*(c[:, k:k + 1] for k in range(_NCOEF)))
+        col = lax.broadcasted_iota(jnp.int32, (rows, blk), 1)
+        e0, e1 = e0r[...], e1r[...]
+        for k in range(K):
+            et_prev = etails[k][:]
+            zt = jnp.zeros_like(et_prev)
+            f0, f1 = _substep_block(kind, kc, col, blk, m_ref,
+                                    e0, e1, e0, e1, e0, e1, carries[k],
+                                    et_prev, zt, npass)
+            etails[k][:] = e1[:, -1:]
+            if k == K - 1:
+                op0r[...], op1r[...] = e0, e1
+            e0, e1 = f0, f1
+        o0r[...], o1r[...] = e0, e1
+        # Record end-of-chain carries (the last visit's write persists).
+        for k in range(K):
+            oc_ref[:, k:k + 1] = carries[k][:]
+
+    return kernel
+
+
+def _make_halo_bdf2_kernel(*, rows: int, blk: int, K: int,
+                           symmetric_half: bool = False,
+                           npass_be: int = None, npass_cn: int = None,
+                           npass_bdf: int = None):
+    """Seeded packed K-step BDF2 4-phase kernel for the halo-overlap
+    engine — the _make_bdf2_kernel analogue of _make_halo_multistep_kernel
+    (see its docstring for the seed/reset/record semantics). Seeds and the
+    recorded outflows are laid out (rows, 4K) with column 4k+p for step k
+    phase p. The reference's asymmetric half-ends snapshot (CN output for
+    mu<0 rows, phase-0 BE output for mu>0 rows, solver.cpp:733 vs 784-787)
+    becomes a per-row blend since both halves share a visit."""
+
+    def kernel(cbe_ref, ccn_ref, cbdf_ref, seeds_ref, reset_ref, m_ref,
+               e0r, e1r, o0r, o1r, oh0r, oh1r, op0r, op1r, oc_ref,
+               *scratch):
+        assert len(scratch) == 6 * K
+        carries = scratch[: 4 * K]     # [k*4 + phase]
+        etails = scratch[4 * K: 5 * K]
+        htails = scratch[5 * K:]
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            for s in range(4 * K):
+                carries[s][:] = jnp.zeros_like(carries[s])
+            for k in range(K):
+                etails[k][:] = jnp.zeros_like(etails[k])
+                htails[k][:] = jnp.zeros_like(htails[k])
+
+        @pl.when(i == reset_ref[0, 0])
+        def _():
+            sv = seeds_ref[...]                     # (rows, 4K)
+            for s in range(4 * K):
+                carries[s][:] = sv[:, s:s + 1]
+            for k in range(K):
+                etails[k][:] = jnp.zeros_like(etails[k])
+                htails[k][:] = jnp.zeros_like(htails[k])
+
+        def unpack(ref):
+            c = ref[...]
+            return _Coef(*(c[:, k:k + 1] for k in range(_NCOEF)))
+
+        kbe, kcn, kbdf = unpack(cbe_ref), unpack(ccn_ref), unpack(cbdf_ref)
+        col = lax.broadcasted_iota(jnp.int32, (rows, blk), 1)
+        row = lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        is_neg = row < (rows // 2)                  # mu<0 rows first
+
+        e0, e1 = e0r[...], e1r[...]
+        hs0 = hs1 = e0                              # overwritten in loop
+        for k in range(K):
+            et_prev = etails[k][:]
+            ht_prev = htails[k][:]
+            zt = jnp.zeros_like(et_prev)
+            cbe1, ccn, cbe2, cbdf = carries[4 * k: 4 * k + 4]
+
+            # Phase 0: BE(dt/2) predictor.
+            b0, b1 = _substep_block(BE, kbe, col, blk, m_ref,
+                                    e0, e1, e0, e1, e0, e1, cbe1, zt, zt,
+                                    npass_be)
+            # Phase 1: CN(dt/2) corrector -> half snapshot.
+            hc0, hc1 = _substep_block(CN, kcn, col, blk, m_ref,
+                                      b0, b1, e0, e1, e0, e1, ccn,
+                                      et_prev, zt, npass_cn)
+            if symmetric_half:
+                hs0, hs1 = hc0, hc1
+            else:
+                hs0 = jnp.where(is_neg, hc0, b0)
+                hs1 = jnp.where(is_neg, hc1, b1)
+            # Phase 2: second BE(dt/2) predictor.
+            d0, d1 = _substep_block(BE, kbe, col, blk, m_ref,
+                                    hc0, hc1, e0, e1, hs0, hs1, cbe2,
+                                    zt, zt, npass_be)
+            # Phase 3: BDF2 corrector (prev = step input ends).
+            f0, f1 = _substep_block(BDF, kbdf, col, blk, m_ref,
+                                    d0, d1, e0, e1, hs0, hs1, cbdf,
+                                    et_prev, ht_prev, npass_bdf)
+
+            etails[k][:] = e1[:, -1:]
+            htails[k][:] = hs1[:, -1:]
+            if k == K - 1:
+                op0r[...], op1r[...] = e0, e1
+            e0, e1 = f0, f1
+
+        o0r[...], o1r[...] = e0, e1
+        oh0r[...], oh1r[...] = hs0, hs1
+        for s in range(4 * K):
+            oc_ref[:, s:s + 1] = carries[s][:]
+
+    return kernel
+
+
 class PallasEngine:
     """Drop-in fused solver using the single-pass Pallas sweep kernel.
 

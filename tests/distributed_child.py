@@ -28,6 +28,12 @@ def main() -> None:
     port = int(sys.argv[3])
     outdir = sys.argv[4]
 
+    import jax as _jax
+
+    # A sitecustomize hook may pre-import jax and pin a TPU platform; the
+    # env var above is then not enough (cf. tests/conftest.py).
+    _jax.config.update("jax_platforms", "cpu")
+
     from radiative_transfer_tpu.parallel import distributed
 
     # initialize() must precede any backend touch (module doc).

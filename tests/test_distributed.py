@@ -87,6 +87,10 @@ def test_explicit_coordinator_failure_raises(tmp_path):
     single-process (parallel/distributed.py)."""
     script = (
         "import jax\n"
+        # A sitecustomize hook may pre-import jax and pin a TPU platform;
+        # the env var alone is not enough (cf. tests/conftest.py) — and a
+        # hung TPU tunnel would hang jax.devices() below.
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "jax.devices()  # backend up -> distributed init must fail\n"
         "from radiative_transfer_tpu.parallel import distributed\n"
         "try:\n"

@@ -1,0 +1,183 @@
+"""Halo-overlap PALLAS engine == single-chip fused Pallas engine.
+
+The halo engine (parallel/halo_pallas.py) runs the SAME truncated-scan
+kernel math over an overlapping decomposition whose creep bound makes the
+shard-owned cells exactly what the single-chip kernel computes — measured
+agreement is bit-exact up to compiler-level FMA/grouping reassociation
+(different K-step launch groupings of the single-chip engine itself
+differ by ~1 f32 ulp at M=8), so the tolerance here is ~10 ulps, much
+tighter than the deferred-correction sharded engine's 1e-5.
+
+Decks are run at N=1024 with X scaled to keep dx at the reference decks'
+physical 0.01 cm (X=1, N=100): the creep bound needs N_loc >= 4K*reach
+cells per shard, and reach grows as cells go optically thin.
+"""
+
+import conftest  # noqa: F401
+from conftest import reference_deck
+
+import jax
+import numpy as np
+import pytest
+
+from radiative_transfer_tpu import load_config
+from radiative_transfer_tpu.models import transport
+from radiative_transfer_tpu.ops import pallas_sweep
+from radiative_transfer_tpu.parallel import halo_pallas
+
+TOL = 2e-6
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return halo_pallas.Mesh(np.asarray(jax.devices()[:8]), ("x",))
+
+
+@pytest.fixture(scope="module")
+def mesh2x4():
+    assert len(jax.devices()) >= 8
+    arr = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    return halo_pallas.Mesh(arr, ("g", "x"))
+
+
+def _relerr(got, ref):
+    scale = np.max(np.abs(ref)) + 1e-300
+    return np.max(np.abs(got - ref)) / scale
+
+
+def _compare(cfg, mesh, num_steps, block=32, tol=TOL, **halo_kw):
+    tables, _, _ = transport.build_tables(cfg)
+
+    peng = pallas_sweep.PallasEngine(cfg, tables, block=block)
+    assert peng.interpret, "tests must run the interpreter (CPU)"
+    pst = peng.solve(num_steps=num_steps)
+
+    heng = halo_pallas.HaloPallasEngine(cfg, tables, mesh, block=block,
+                                        **halo_kw)
+    assert heng.interpret
+    hst = heng.solve(num_steps=num_steps)
+
+    assert _relerr(
+        np.asarray(heng.ends(hst)), np.asarray(peng.ends(pst))
+    ) < tol
+    if cfg.ts_method == 3:
+        prev, half = heng.prev_half_ends(hst)
+        assert _relerr(
+            np.asarray(prev), np.asarray(peng.ends_pair(pst.p0, pst.p1))
+        ) < tol
+        assert _relerr(
+            np.asarray(half), np.asarray(peng.ends_pair(pst.h0, pst.h1))
+        ) < tol
+    return heng
+
+
+def _gray(**ov):
+    ov.setdefault("N", 1024)
+    ov.setdefault("X", 10.24)
+    return load_config(reference_deck("single_group.prm"), **ov)
+
+
+@pytest.mark.parametrize("ts_method", [1, 2, 3])
+def test_gray_deck(mesh8, ts_method):
+    cfg = _gray(max_timesteps=6, ts_method=ts_method)
+    heng = _compare(cfg, mesh8, 6)
+    # the launch fusion must actually engage (this is the engine's point)
+    assert heng.K_launch >= 2
+
+
+def test_multigroup_correction(mesh8):
+    cfg = load_config(reference_deck("multi_group_equilibrium.prm"),
+                      max_timesteps=5, N=1024, X=10.24)
+    _compare(cfg, mesh8, 5)
+
+
+@pytest.mark.parametrize("bc_left,bc_right", [(0, 0), (1, 1), (2, 0)])
+def test_bc_combinations(mesh8, bc_left, bc_right):
+    cfg = _gray(max_timesteps=5, bc_left_indicator=bc_left,
+                bc_right_indicator=bc_right)
+    _compare(cfg, mesh8, 5)
+
+
+@pytest.mark.parametrize("ts_method", [1, 3])
+def test_2d_mesh_gray(mesh2x4, ts_method):
+    """(g=2, x=4) mesh: batch rows sharded; the reflective fixup's
+    direction flip crosses the group shards (all_gather over 'g')."""
+    cfg = _gray(max_timesteps=5, M=8,
+                psi_source=tuple((4.0931,) for _ in range(8)),
+                ts_method=ts_method)
+    _compare(cfg, mesh2x4, 5)
+
+
+def test_tail_launch_group(mesh8):
+    """num_steps not divisible by K_launch exercises the tail-K kernel."""
+    cfg = _gray(max_timesteps=5)
+    tables, _, _ = transport.build_tables(cfg)
+    heng = halo_pallas.HaloPallasEngine(cfg, tables, mesh8, block=32)
+    assert heng.K_launch == 2  # 5 = 2*2 + 1 tail
+    _compare(cfg, mesh8, 5)
+
+
+def test_steps_per_launch_cap(mesh8):
+    cfg = _gray(max_timesteps=4)
+    tables, _, _ = transport.build_tables(cfg)
+    heng = halo_pallas.HaloPallasEngine(cfg, tables, mesh8, block=32,
+                                        steps_per_launch=1)
+    assert heng.K_launch == 1
+    _compare(cfg, mesh8, 4, steps_per_launch=1)
+
+
+def test_untruncated_regime_raises(mesh8):
+    """The LLNL deck at coarse resolution is too optically thin per cell
+    to truncate the scan (npass == log2(block)): the halo creep bound is
+    unsatisfiable and the engine must refuse (use ShardedPallasEngine)."""
+    cfg = load_config(reference_deck("llnl_slab_test.prm"), N=64)
+    tables, _, _ = transport.build_tables(cfg)
+    with pytest.raises(ValueError, match="ShardedPallasEngine"):
+        halo_pallas.HaloPallasEngine(cfg, tables, mesh8, block=8)
+
+
+def test_halo_exceeds_shard_raises(mesh8):
+    """Feasible truncation but N_loc too small for even a 1-step halo."""
+    cfg = _gray(N=256, X=2.56)  # N_loc=32 < 4*reach=64
+    tables, _, _ = transport.build_tables(cfg)
+    with pytest.raises(ValueError, match="N_loc"):
+        halo_pallas.HaloPallasEngine(cfg, tables, mesh8, block=32)
+
+
+def test_from_ends_roundtrip(mesh8):
+    """Checkpoint-style restart: solve(3)+solve(3) == solve(6) through the
+    global-layout export/import."""
+    cfg = _gray(max_timesteps=6)
+    tables, _, _ = transport.build_tables(cfg)
+    heng = halo_pallas.HaloPallasEngine(cfg, tables, mesh8, block=32)
+
+    mid = heng.solve(num_steps=3)
+    prev, half = heng.prev_half_ends(mid)
+    st2 = heng.from_ends(np.asarray(heng.ends(mid), np.float64),
+                         np.asarray(prev, np.float64),
+                         np.asarray(half, np.float64))
+    final = heng.solve(st2, num_steps=3)
+    one = heng.solve(num_steps=6)
+    assert _relerr(
+        np.asarray(heng.ends(final)), np.asarray(heng.ends(one))
+    ) < 1e-5
+
+
+def test_equilibrium_preserved(mesh8):
+    """GrayTest invariant on the halo engine: the equilibrium slab keeps
+    max|F| tiny over a longer run (f32 engine bar, cf. test_gray.py)."""
+    B = None
+    cfg = _gray(max_timesteps=40)
+    tables, _, _ = transport.build_tables(cfg)
+    B = float(np.asarray(tables.B)[0])
+    cfg = _gray(max_timesteps=40, psi_source=((B,), (B,)))
+    tables, _, _ = transport.build_tables(cfg)
+    heng = halo_pallas.HaloPallasEngine(cfg, tables, mesh8, block=32)
+    st = heng.solve(num_steps=40)
+    ends = np.asarray(heng.ends(st), np.float64)  # (M, G, N, 2)
+    psi = 0.5 * (ends[..., 0] + ends[..., 1])
+    mu = np.asarray(tables.mu)[:, None, None]
+    wt = np.asarray(tables.wt)[:, None, None]
+    F = (mu * wt * psi).sum(axis=0)
+    assert np.max(np.abs(F)) < 1e-4 * B
