@@ -10,12 +10,21 @@ reports  efficiency(K) = rate(K) / (K * rate(1)).
 On the current single-chip image only K=1 runs on real hardware; pass
 --virtual to measure the full ladder on a forced CPU host mesh (relative
 efficiencies there reflect collective/overhead scaling, not TPU rates —
-run this unchanged on a real slice when one is available). The expected
-real-hardware efficiency model: per sub-step the exchange adds one
-(2, M*G/2) all_gather + <= 2 tiny ppermutes over ICI, independent of
-cells/chip — O(10 us) per sub-step against a compute time of
-(cells/chip * M * G / rate_chip), so efficiency ~ 1 / (1 + t_coll/t_comp)
-stays > 0.9 for >= 2^17 cells/chip at v5e ICI latencies.
+run this unchanged on a real slice when one is available). Expected
+real-hardware efficiency models:
+
+* halo-pallas (default, production): per K=8 BDF2 steps the exchange is
+  2 ppermutes of (2, M*G/2, H) plane slices + 1 tiny carry-record
+  ppermute, and the redundant halo+fixup compute is 2H/cells_per_shard
+  (~0.4% at 2^20 cells, H=2048). Both terms are O(10 us) / <1% against
+  ~20 ms of compute per launch group at the headline shape, so
+  efficiency should sit > 0.98 — the fused single-chip rate survives
+  scaling.
+* sharded-pallas: one (2, M*G/2) all_gather + <= 2 tiny ppermutes per
+  SUB-step, still O(10 us) each against (cells/chip * M * G /
+  rate_chip) compute, so efficiency ~ 1 / (1 + t_coll/t_comp) stays
+  > 0.9 for >= 2^17 cells/chip at v5e ICI latencies — but its per-chip
+  base rate is ~2.5x below halo-pallas (no in-launch step fusion).
 
 Usage:
     python benchmarks/weak_scaling.py [--cells-per-shard 131072]
@@ -37,8 +46,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cells-per-shard", type=int, default=None)
     ap.add_argument("--steps", type=int, default=16)
-    ap.add_argument("--engine", default="sharded-pallas",
-                    choices=("sharded-pallas", "sharded-fast"))
+    ap.add_argument("--engine", default="halo-pallas",
+                    choices=("halo-pallas", "sharded-pallas",
+                             "sharded-fast"))
     ap.add_argument("--virtual", action="store_true",
                     help="force an 8-device CPU host mesh (overhead "
                          "trends only, not TPU rates)")
@@ -77,7 +87,17 @@ def main():
         cfg = _mk_cfg(M, G, cells * K, args.steps)
         tables, _, _ = transport.build_tables(cfg, dtype=jnp.float32)
         mesh = Mesh(np.asarray(jax.devices()[:K]), ("x",))
-        if args.engine == "sharded-pallas":
+        if args.engine == "halo-pallas":
+            # Production path: fused K-step kernel per shard, one halo
+            # exchange per K steps (parallel/halo_pallas.py). The
+            # headline workload satisfies its truncated-scan creep bound
+            # at >= 2^15 cells/shard.
+            from radiative_transfer_tpu.parallel.halo_pallas import (
+                HaloPallasEngine,
+            )
+
+            eng = HaloPallasEngine(cfg, tables, mesh)
+        elif args.engine == "sharded-pallas":
             from radiative_transfer_tpu.parallel.sharded_pallas import (
                 ShardedPallasEngine,
             )

@@ -164,6 +164,26 @@ def test_from_ends_roundtrip(mesh8):
     ) < 1e-5
 
 
+def test_checkpointed_solve(mesh8, tmp_path):
+    """The engine-agnostic checkpoint layer drives the halo engine:
+    interrupted run + resume == uninterrupted run."""
+    from radiative_transfer_tpu.utils import checkpoint as ckpt
+
+    cfg = _gray(max_timesteps=6)
+    tables, _, _ = transport.build_tables(cfg)
+    heng = halo_pallas.HaloPallasEngine(cfg, tables, mesh8, block=32)
+
+    st1 = ckpt.solve_with_checkpoints_engine(
+        heng, cfg, str(tmp_path), every=2, num_steps=4)[0]
+    st2 = ckpt.solve_with_checkpoints_engine(
+        heng, cfg, str(tmp_path), every=2, num_steps=6)[0]  # resumes at 4
+    one = heng.solve(num_steps=6)
+    assert _relerr(
+        np.asarray(heng.ends(st2)), np.asarray(heng.ends(one))
+    ) < 1e-5
+    del st1
+
+
 def test_equilibrium_preserved(mesh8):
     """GrayTest invariant on the halo engine: the equilibrium slab keeps
     max|F| tiny over a longer run (f32 engine bar, cf. test_gray.py)."""
