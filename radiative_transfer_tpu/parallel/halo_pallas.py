@@ -292,14 +292,18 @@ class HaloPallasEngine:
             compiler_params=ps._params(self.interpret),
         )
         Bh_l = self.Bh_l
+        n_coef = 3 if self.cfg.ts_method == 3 else 1
 
         def call(*args):
-            # args: [coef...], seeds, reset, masks, e0, e1 — everything but
-            # reset/masks arrives (2, Bh_l, X).
-            packed = [
-                a if a.ndim != 3 or a.shape[:2] != (2, Bh_l)
-                else a.reshape(rows, a.shape[-1])
-                for a in args
+            # args: [coef]*n_coef, seeds, reset, masks, e0, e1 — everything
+            # except reset (SMEM (1,1)) and masks (npass, 1, blk) arrives
+            # (2, Bh_l, X) and collapses to packed (rows, X). Positional:
+            # shape-sniffing would misfire at Bh_l == 1 (M=2 decks).
+            coefs = [a.reshape(rows, -1) for a in args[:n_coef]]
+            seeds, reset, masks, e0, e1 = args[n_coef:]
+            packed = coefs + [
+                seeds.reshape(rows, -1), reset, masks,
+                e0.reshape(rows, -1), e1.reshape(rows, -1),
             ]
             outs = raw(*packed)
             return tuple(o.reshape(2, Bh_l, o.shape[-1]) for o in outs)

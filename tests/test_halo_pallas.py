@@ -164,6 +164,25 @@ def test_from_ends_roundtrip(mesh8):
     ) < 1e-5
 
 
+def test_mask_count_2_at_single_row(mesh8):
+    """M=2 deck (Bh_l=1) with exactly npass_max=2: the mask planes array
+    is (2, 1, blk), shape-colliding with the (2, Bh_l, X) packed arrays —
+    regression for the call wrapper's arg packing."""
+    cfg = _gray(max_timesteps=4, X=40.96)  # dx=0.04 -> npass=2 everywhere
+    tables, _, _ = transport.build_tables(cfg)
+    heng = halo_pallas.HaloPallasEngine(cfg, tables, mesh8, block=32)
+    assert heng.Bh_l == 1 and heng._mask_count == 2
+    _compare(cfg, mesh8, 4)
+
+
+def test_mesh_1x1(tmp_path):
+    """Single-device mesh (what bench runs on one chip): the halo is
+    zero-filled + reset-skipped and the reflective fixup self-permutes."""
+    mesh1 = halo_pallas.Mesh(np.asarray(jax.devices()[:1]), ("x",))
+    cfg = _gray(max_timesteps=5)
+    _compare(cfg, mesh1, 5)
+
+
 def test_checkpointed_solve(mesh8, tmp_path):
     """The engine-agnostic checkpoint layer drives the halo engine:
     interrupted run + resume == uninterrupted run."""
