@@ -28,7 +28,8 @@ real-hardware efficiency models:
 
 Usage:
     python benchmarks/weak_scaling.py [--cells-per-shard 131072]
-        [--steps 16] [--engine sharded-pallas|sharded-fast] [--virtual]
+        [--steps 16] [--engine halo-pallas|sharded-pallas|sharded-fast]
+        [--virtual]
 """
 
 from __future__ import annotations

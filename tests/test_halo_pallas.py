@@ -175,7 +175,7 @@ def test_mask_count_2_at_single_row(mesh8):
     _compare(cfg, mesh8, 4)
 
 
-def test_mesh_1x1(tmp_path):
+def test_mesh_1x1():
     """Single-device mesh (what bench runs on one chip): the halo is
     zero-filled + reset-skipped and the reflective fixup self-permutes."""
     mesh1 = halo_pallas.Mesh(np.asarray(jax.devices()[:1]), ("x",))
@@ -192,15 +192,14 @@ def test_checkpointed_solve(mesh8, tmp_path):
     tables, _, _ = transport.build_tables(cfg)
     heng = halo_pallas.HaloPallasEngine(cfg, tables, mesh8, block=32)
 
-    st1 = ckpt.solve_with_checkpoints_engine(
-        heng, cfg, str(tmp_path), every=2, num_steps=4)[0]
+    ckpt.solve_with_checkpoints_engine(
+        heng, cfg, str(tmp_path), every=2, num_steps=4)
     st2 = ckpt.solve_with_checkpoints_engine(
         heng, cfg, str(tmp_path), every=2, num_steps=6)[0]  # resumes at 4
     one = heng.solve(num_steps=6)
     assert _relerr(
         np.asarray(heng.ends(st2)), np.asarray(heng.ends(one))
     ) < 1e-5
-    del st1
 
 
 def test_equilibrium_preserved(mesh8):
