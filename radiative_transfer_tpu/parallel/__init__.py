@@ -3,3 +3,30 @@ per-substep exchange (sharded_pallas), and fused-kernel halo overlap
 (halo_pallas)."""
 
 from . import distributed, sharded, sharded_fast  # noqa: F401
+
+
+def make_multichip_engine(cfg, tables, mesh, engine: str = "auto", **kw):
+    """Best multi-chip engine for (cfg, mesh): the halo-overlap engine
+    (fused K-step kernel per shard) when its truncated-scan creep bound
+    admits the workload, else the per-substep-exchange sharded Pallas
+    engine. Pass engine='halo'/'pallas' to pin (halo then raises
+    ValueError with guidance if infeasible). Both are float32;
+    engine='fast' selects the XLA engine (f64-capable, dtype=... kwarg).
+
+    Returns the constructed engine; all engines expose
+    init_state/solve/ends/from_ends with identical semantics.
+    """
+    if engine == "fast":
+        return sharded_fast.ShardedFastEngine(cfg, tables, mesh, **kw)
+    from . import halo_pallas, sharded_pallas
+
+    if engine == "halo":
+        return halo_pallas.HaloPallasEngine(cfg, tables, mesh, **kw)
+    if engine == "pallas":
+        return sharded_pallas.ShardedPallasEngine(cfg, tables, mesh, **kw)
+    if engine != "auto":
+        raise ValueError(f"unknown multi-chip engine {engine!r}")
+    try:
+        return halo_pallas.HaloPallasEngine(cfg, tables, mesh, **kw)
+    except ValueError:
+        return sharded_pallas.ShardedPallasEngine(cfg, tables, mesh, **kw)

@@ -202,6 +202,69 @@ def test_checkpointed_solve(mesh8, tmp_path):
     ) < 1e-5
 
 
+def test_make_multichip_engine_auto(mesh8):
+    """parallel.make_multichip_engine picks halo when the creep bound
+    admits the workload and falls back to the per-substep engine when
+    it does not (LLNL at coarse resolution)."""
+    from radiative_transfer_tpu import parallel
+    from radiative_transfer_tpu.parallel import sharded_pallas
+
+    cfg = _gray(max_timesteps=4)
+    tables, _, _ = transport.build_tables(cfg)
+    eng = parallel.make_multichip_engine(cfg, tables, mesh8, block=32)
+    assert isinstance(eng, halo_pallas.HaloPallasEngine)
+
+    cfg2 = load_config(reference_deck("llnl_slab_test.prm"), N=64)
+    tables2, _, _ = transport.build_tables(cfg2)
+    eng2 = parallel.make_multichip_engine(cfg2, tables2, mesh8, block=8)
+    assert isinstance(eng2, sharded_pallas.ShardedPallasEngine)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_vs_single_chip(mesh8, seed):
+    """Randomized shapes/BCs/integrators/physics: halo engine == single
+    chip wherever the creep bound admits the workload; infeasible draws
+    must raise the documented guidance (never silently degrade)."""
+    from radiative_transfer_tpu.config.config import Config
+
+    rng = np.random.default_rng(4200 + seed)
+    M = int(rng.choice([2, 4, 8]))
+    G = int(rng.integers(1, 4))
+    N = 1024
+    cfg = Config(
+        M=M, G=G, N=N,
+        X=float(N * 10.0 ** rng.uniform(-2.2, -1.6)),  # dx 6e-3..2.5e-2
+        efirst=0.1, elast=10.0,
+        bc_left_indicator=int(rng.choice([0, 1, 2])),
+        bc_right_indicator=int(rng.choice([0, 1, 2])),
+        psi_source=tuple(
+            tuple(float(rng.uniform(0, 5)) for _ in range(G))
+            for _ in range(M)
+        ),
+        rho=float(rng.uniform(0.5, 2.0)),
+        kappa_grey=float(10.0 ** rng.uniform(-0.2, 1.5)),
+        T=float(rng.uniform(0.5, 2.0)),
+        V=float(rng.uniform(0.0, 3.0)),
+        use_correction=bool(rng.integers(0, 2)),
+        ts_method=int(rng.choice([1, 2, 3])),
+        dt=float(10.0 ** rng.uniform(-6, -5)),
+        max_timesteps=5,
+        include_validation=False,
+    )
+    tables, _, _ = transport.build_tables(cfg)
+    try:
+        heng = halo_pallas.HaloPallasEngine(cfg, tables, mesh8, block=32)
+    except ValueError as e:
+        assert "ShardedPallasEngine" in str(e) or "N_loc" in str(e)
+        return
+    peng = pallas_sweep.PallasEngine(cfg, tables, block=32)
+    pst = peng.solve(num_steps=5)
+    hst = heng.solve(num_steps=5)
+    assert _relerr(
+        np.asarray(heng.ends(hst)), np.asarray(peng.ends(pst))
+    ) < 1e-5
+
+
 def test_equilibrium_preserved(mesh8):
     """GrayTest invariant on the halo engine: the equilibrium slab keeps
     max|F| tiny over a longer run (f32 engine bar, cf. test_gray.py)."""
