@@ -78,6 +78,31 @@ def main() -> None:
 
     if process_id == 0:
         np.save(os.path.join(outdir, "ends.npy"), local)
+    multihost_utils.sync_global_devices("fast-done")
+
+    # The halo-overlap engine across the SAME process boundary: its
+    # plane-halo / carry-record ppermutes now ride the inter-process
+    # transport instead of intra-process ICI emulation. N sized so each
+    # process's shard satisfies the creep bound (N_loc=1024, dx=0.01).
+    from radiative_transfer_tpu.parallel.halo_pallas import HaloPallasEngine
+
+    cfgh = Config(
+        M=2, G=1, N=1024 * num_processes, efirst=0.1, elast=10.0,
+        X=10.24 * num_processes,
+        bc_left_indicator=2, bc_right_indicator=1,
+        psi_source=((4.0931,), (4.0931,)),
+        rho=1.0, kappa_grey=1.0, T=1.0, V=0.0, use_correction=True,
+        ts_method=3, dt=1e-5, max_timesteps=3,
+        include_validation=False,
+    )
+    tablesh, _, _ = transport.build_tables(cfgh, dtype=jnp.float32)
+    heng = HaloPallasEngine(cfgh, tablesh, mesh, block=32)
+    hst = heng.solve()
+    hends = heng.ends(hst)
+    hlocal = np.asarray(multihost_utils.process_allgather(hends, tiled=True))
+    assert hlocal.shape == (cfgh.M, cfgh.G, cfgh.N, 2), hlocal.shape
+    if process_id == 0:
+        np.save(os.path.join(outdir, "halo_ends.npy"), hlocal)
     multihost_utils.sync_global_devices("done")
 
 

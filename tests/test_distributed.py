@@ -80,6 +80,28 @@ def test_two_process_sharded_solve_matches_single_process(tmp_path):
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
+    # Halo-overlap engine across the process boundary (written by the
+    # same children): must match the single-process single-chip Pallas
+    # engine at f32 roundoff.
+    from radiative_transfer_tpu import load_config
+    from radiative_transfer_tpu.ops.pallas_sweep import PallasEngine
+
+    got_h = np.load(tmp_path / "halo_ends.npy")
+    cfgh = Config(
+        M=2, G=1, N=2048, efirst=0.1, elast=10.0, X=20.48,
+        bc_left_indicator=2, bc_right_indicator=1,
+        psi_source=((4.0931,), (4.0931,)),
+        rho=1.0, kappa_grey=1.0, T=1.0, V=0.0, use_correction=True,
+        ts_method=3, dt=1e-5, max_timesteps=3,
+        include_validation=False,
+    )
+    tablesh, _, _ = transport.build_tables(cfgh, dtype=jnp.float32)
+    peng = PallasEngine(cfgh, tablesh, block=32)
+    want_h = np.asarray(peng.ends(peng.solve()))
+    assert got_h.shape == want_h.shape
+    scale = np.abs(want_h).max()
+    assert np.abs(got_h - want_h).max() / scale < 2e-6
+
 
 def test_explicit_coordinator_failure_raises(tmp_path):
     """With EXPLICIT coordinator arguments, a failed jax.distributed init
