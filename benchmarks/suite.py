@@ -190,8 +190,25 @@ def main():
         ("gray_s8", 8, 1, (1 << 18) // scale, 64, False, 1e-10),
         ("mg16_correction_s8", 8, 16, (1 << 16) // scale, 32, True, 1e-10),
         ("mg128_s4", 4, 128, (1 << 13) // scale, 32, False, 1e-10),
+        # The real LLNL 124-group deck (file-tabulated bounds + kappa_a
+        # spanning 8 decades, correction on) at benchmark resolution —
+        # the BASELINE.md multi-host multigroup config. Optically-thin
+        # groups keep the full scan (and reject the halo engine), so
+        # this row exercises the untruncated path.
+        ("llnl_124g", None, None, (1 << 12) // scale, 16, None, 1e-10),
     ]
     engines = args.engines.split(",")
+
+    def _llnl_cfg(N, steps):
+        from radiative_transfer_tpu import load_config
+
+        deck = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "prm", "llnl_slab_test.prm")
+        cfg0 = load_config(deck)
+        # dt from cell Courant 0.4 (the deck's dt=1e-3 is far outside
+        # the BDF2 stability envelope at benchmark resolution).
+        return load_config(deck, N=N, max_timesteps=steps,
+                           dt=0.4 * (cfg0.X / N) / _C_LIGHT)
 
     rows = []
     for name, M, G, N, steps, corr, tol in cases:
@@ -200,15 +217,20 @@ def main():
                 continue  # interpreter too slow for big cases
             if "full-scan" in name and "pallas" not in engine:
                 continue  # the control row only varies the pallas scan
+            if name == "llnl_124g" and engine == "halo-pallas":
+                continue  # rejected by the halo creep bound by design
             dtypes = (["float32"] if "pallas" in engine
                       else ["float32", "float64"])
             for dt in dtypes:
                 try:
-                    ups = run_case(engine, _mk_cfg(M, G, N, steps, corr),
+                    cfg_case = (_llnl_cfg(N, steps) if name == "llnl_124g"
+                                else _mk_cfg(M, G, N, steps, corr))
+                    ups = run_case(engine, cfg_case,
                                    dt, args.mesh, scan_tol=tol)
                     rec = {
                         "case": name, "engine": engine, "dtype": dt,
-                        "M": M, "G": G, "N": N, "steps": steps,
+                        "M": cfg_case.M, "G": cfg_case.G, "N": N,
+                        "steps": steps,
                         "platform": platform,
                         "updates_per_s": ups,
                     }
