@@ -164,7 +164,7 @@ class HaloPallasEngine:
                 blk, scan_tol)
             for kind, kc in self._fe.kcs.items()
         }
-        self._mask_count = max(1, *self.scan_npass.values(), 1)
+        self._mask_count = max(1, *self.scan_npass.values())
         self.scan_masks = jnp.asarray(
             ps._scan_masks(blk)[:self._mask_count])
 

@@ -268,7 +268,6 @@ def test_fuzz_vs_single_chip(mesh8, seed):
 def test_equilibrium_preserved(mesh8):
     """GrayTest invariant on the halo engine: the equilibrium slab keeps
     max|F| tiny over a longer run (f32 engine bar, cf. test_gray.py)."""
-    B = None
     cfg = _gray(max_timesteps=40)
     tables, _, _ = transport.build_tables(cfg)
     B = float(np.asarray(tables.B)[0])
