@@ -32,7 +32,7 @@ def main():
 
     n_dev = len(jax.devices())
     cfg = rt.Config(
-        M=8, G=4, N=256 * max(n_dev, 1),
+        M=8, G=4, N=256 * max(n_dev, 1), X=float(max(n_dev, 1)),
         bc_left_indicator=2, bc_right_indicator=1,
         # use_mg_equilib replaces psi_source with the comoving-equilibrium
         # Planckian (+ Doppler term) at setup.
@@ -60,6 +60,22 @@ def main():
     print(f"sharded vs single-device max rel diff: {err:.2e}")
     assert err < 1e-12, "sharded result diverged"
     print("multi-chip solve matches single-device")
+
+    # The production f32 path: parallel.make_multichip_engine picks the
+    # fused-kernel halo-overlap engine when the workload's truncated-scan
+    # creep bound admits it (this one does: dx=1/256 at dt=1e-5), else
+    # the per-substep-exchange sharded Pallas engine. The f32 bar is the
+    # documented drift class for correction-coupled multigroup decks
+    # (docs/PERFORMANCE.md "f32 accuracy").
+    from radiative_transfer_tpu import parallel
+
+    tables32, _, _ = rt.transport.build_tables(cfg, dtype=jnp.float32)
+    peng = parallel.make_multichip_engine(cfg, tables32, mesh)
+    pends = np.asarray(peng.ends(peng.solve()))
+    perr = np.abs(pends - single_ends).max() / scale
+    print(f"{type(peng).__name__} (f32) vs f64 max rel diff: {perr:.2e}")
+    assert perr < 2e-3, "f32 multi-chip engine diverged"
+    print("f32 fused multi-chip engine matches at f32 accuracy")
     return 0
 
 
