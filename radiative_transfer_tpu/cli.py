@@ -229,21 +229,7 @@ def _run(args, cfg, dtype):
         ends = eng.ends(fst)
         if check_fn is not None:
             check_fn(ends, steps_run)
-        psi = transport.psi_from_ends(ends)
-        result = transport.SolveResult(
-            psi=psi,
-            phi=transport.compute_phi(psi, tables.wt.astype(dtype)),
-            phi_plus=transport.compute_phi_plus(psi, tables.wt.astype(dtype)),
-            F=transport.compute_F(psi, tables.mu.astype(dtype), tables.wt.astype(dtype)),
-            balance=transport.compute_balance(
-                cfg, tables,
-                jnp.asarray(ends, jnp.float64),
-                jnp.asarray(transport.compute_phi(psi, tables.wt.astype(dtype)), jnp.float64),
-            ),
-            left_ends=transport.compute_group_ends(cfg, tables, ends)[0],
-            right_ends=transport.compute_group_ends(cfg, tables, ends)[1],
-            state=None,
-        )
+        result = transport.result_from_ends(cfg, tables, ends)
         e_ave = np.asarray(grid.e_ave)
     elif args.checkpoint_dir:
         from .utils import checkpoint as ckpt_mod
@@ -347,17 +333,7 @@ def _run_sharded(args, cfg, dtype):
     check_fn = _make_check_fn(args)
     if check_fn is not None:
         check_fn(ends64, cfg.max_timesteps)
-    psi = transport.psi_from_ends(ends64)
-    phi = transport.compute_phi(psi, tables.wt.astype(jnp.float64))
-    le, re_ = transport.compute_group_ends(cfg, tables, ends64)
-    result = transport.SolveResult(
-        psi=psi, phi=phi,
-        phi_plus=transport.compute_phi_plus(psi, tables.wt.astype(jnp.float64)),
-        F=transport.compute_F(psi, tables.mu.astype(jnp.float64),
-                              tables.wt.astype(jnp.float64)),
-        balance=transport.compute_balance(cfg, tables, ends64, phi),
-        left_ends=le, right_ends=re_, state=state,
-    )
+    result = transport.result_from_ends(cfg, tables, ends64, state=state)
     return result, np.asarray(grid.e_ave), cfg.max_timesteps
 
 

@@ -385,6 +385,27 @@ class SolveResult(NamedTuple):
     state: State
 
 
+def result_from_ends(cfg: Config, tables: Tables, ends: jnp.ndarray,
+                     state: Optional[State] = None) -> SolveResult:
+    """Post-processing diagnostics from a final `ends` array — the
+    main.cc:105-133 output set, shared by every engine path (the fast /
+    Pallas / multi-chip engines produce ends in their own layouts and
+    convert; diagnostics run in f64)."""
+    ends = jnp.asarray(ends, jnp.float64)
+    wt = jnp.asarray(tables.wt, jnp.float64)
+    mu = jnp.asarray(tables.mu, jnp.float64)
+    psi = psi_from_ends(ends)
+    phi = compute_phi(psi, wt)
+    left_ends, right_ends = compute_group_ends(cfg, tables, ends)
+    return SolveResult(
+        psi=psi, phi=phi,
+        phi_plus=compute_phi_plus(psi, wt),
+        F=compute_F(psi, mu, wt),
+        balance=compute_balance(cfg, tables, ends, phi),
+        left_ends=left_ends, right_ends=right_ends, state=state,
+    )
+
+
 def run_problem(cfg: Config, dtype=jnp.float64, num_steps: Optional[int] = None) -> SolveResult:
     """End-to-end: setup -> solve -> diagnostics (the main() flow,
     reference: src/main.cc:60-136)."""

@@ -145,6 +145,50 @@ def test_deck_matches_reference_binary(transfer_binary, tmp_path, deck, steps):
     assert np.abs(np.loadtxt(os.path.join(refdir, "phi.csv"))).max() > 0
 
 
+def _run_ours_pallas(deck_path, outdir):
+    """Same deck through the f32 Pallas engine (diagnostics in f64)."""
+    import jax.numpy as jnp
+
+    from radiative_transfer_tpu.config.config import load_config
+    from radiative_transfer_tpu.models import transport
+    from radiative_transfer_tpu.ops.pallas_sweep import PallasEngine
+    from radiative_transfer_tpu.utils import io as io_mod
+
+    cfg = load_config(deck_path)
+    tables, grid, _ = transport.build_tables(cfg, dtype=jnp.float64)
+    eng = PallasEngine(cfg, tables)
+    result = transport.result_from_ends(cfg, tables, eng.ends(eng.solve()))
+    x = (np.arange(cfg.N) + 0.5) * cfg.dx
+    io_mod.write_solution_csvs(outdir, result, x, np.asarray(grid.e_ave))
+    return outdir
+
+
+def test_gray_pallas_f32_matches_reference_binary(transfer_binary, tmp_path):
+    """GOLDEN parity for the f32 perf engine itself (not just via the
+    engine-equivalence chain): the Pallas engine's CSVs vs the reference
+    binary at the documented gray f32 drift bar (~1e-6 vs f64 at 100
+    steps, docs/PERFORMANCE.md) plus the binary's 6-digit print floor."""
+    deck_path = _deck_with_steps(
+        reference_deck("single_group.prm"), 100, str(tmp_path))
+    refdir = _run_reference(transfer_binary, deck_path, str(tmp_path))
+    ourdir = _run_ours_pallas(deck_path, str(tmp_path / "ours_pallas"))
+    for name in FIELDS:
+        if name == "F":
+            continue
+        a = np.loadtxt(os.path.join(refdir, name + ".csv"))
+        b = np.loadtxt(os.path.join(ourdir, name + ".csv"))
+        assert a.shape == b.shape, name
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-300)
+        assert err < 5e-5, f"{name}: {err:.3e}"
+    # F ~ 0 at equilibrium (that IS the GrayTest invariant), so a
+    # relative-to-F-max metric compares two roundoff-level fields;
+    # bound it against the physical flux scale phi instead.
+    F = np.loadtxt(os.path.join(ourdir, "F.csv"))
+    Fref = np.loadtxt(os.path.join(refdir, "F.csv"))
+    phi_scale = np.abs(np.loadtxt(os.path.join(refdir, "phi.csv"))).max()
+    assert np.abs(F - Fref).max() / phi_scale < 5e-5
+
+
 def test_be_and_cn_match_reference_binary(transfer_binary, tmp_path):
     """The pure BE and CN integrators, via modified decks."""
     base = open(reference_deck("multi_group_equilibrium.prm")).read()
