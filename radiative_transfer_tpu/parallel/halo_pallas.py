@@ -53,7 +53,7 @@ so the CPU test mesh exercises the same code.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
