@@ -202,6 +202,43 @@ def test_checkpointed_solve(mesh8, tmp_path):
     ) < 1e-5
 
 
+def test_influence_hard_cap():
+    """The creep bound's foundation, tested directly on the single-chip
+    kernel: with the truncated scan, a point perturbation of the input
+    state cannot influence cells further than S*reach downstream after a
+    fused K-step launch (reach = 2^(npass+1): in-block scan window plus
+    one inter-block carry hop). Upstream cells may differ freely (the
+    perturbed cell itself changes), downstream-beyond-reach must be
+    BIT-identical — this is what makes the halo engine's shard cells
+    exact rather than merely tol-accurate."""
+    cfg = _gray(max_timesteps=4)
+    tables, _, _ = transport.build_tables(cfg)
+    peng = pallas_sweep.PallasEngine(cfg, tables, block=32)
+    K = 2
+    npass_max = max(peng.scan_npass.values())
+    reach = 1 << (npass_max + 1)
+    S = 4 * K  # BDF2 sub-steps per launch
+    j0 = 256
+
+    st = peng.init_state()
+    e0p = st.e0.at[:, :, j0].multiply(1.5)
+    stp = st._replace(e0=e0p)
+    out = peng.multi_step(st, K)
+    outp = peng.multi_step(stp, K)
+
+    for name in ("e0", "e1", "h0", "h1"):
+        d = np.abs(np.asarray(getattr(out, name))
+                   - np.asarray(getattr(outp, name)))
+        touched = np.nonzero(d.max(axis=(0, 1)))[0]
+        assert touched.size, f"{name}: perturbation had no effect"
+        # influence must reach forward of j0 at all (test bites) ...
+        assert touched.max() > j0, name
+        # ... but never beyond the hard cap.
+        assert touched.max() <= j0 + S * reach, (
+            f"{name}: influence reached {touched.max() - j0} cells "
+            f"downstream, cap is {S * reach}")
+
+
 def test_make_multichip_engine_auto(mesh8):
     """parallel.make_multichip_engine picks halo when the creep bound
     admits the workload and falls back to the per-substep engine when
