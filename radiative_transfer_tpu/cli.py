@@ -72,14 +72,16 @@ def main(argv=None) -> int:
                     help=".prm input deck (reference grammar)")
     ap.add_argument("--outdir", default=".")
     ap.add_argument("--steps", type=int, default=None)
-    ap.add_argument("--engine", choices=("general", "fast", "pallas", "halo"),
+    ap.add_argument("--engine",
+                    choices=("general", "fast", "pallas", "halo", "auto"),
                     default="general",
                     help="general: f64 scan path (default); fast: tiled "
                          "fused XLA engine; pallas: single-pass TPU kernel "
                          "(float32, interpreted off-TPU); halo: multi-chip "
                          "fused K-step kernel via halo-overlap decomposition "
-                         "(float32, needs the truncated-scan regime; implies "
-                         "--mesh 1x1 when no mesh is given)")
+                         "(float32, needs the truncated-scan regime); auto: "
+                         "halo when feasible else the sharded pallas engine. "
+                         "halo/auto imply --mesh 1x1 when no mesh is given")
     ap.add_argument("--dtype", choices=("float64", "float32"), default="float64")
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--checkpoint-dir", default=None,
@@ -194,8 +196,8 @@ def _run(args, cfg, dtype):
     from .utils import io as io_mod  # noqa: F401  (kept for parity of imports)
 
     check_fn = _make_check_fn(args)
-    if args.engine == "halo" and not args.mesh:
-        args.mesh = "1x1"   # the halo engine is inherently mesh-based
+    if args.engine in ("halo", "auto") and not args.mesh:
+        args.mesh = "1x1"   # these engines are inherently mesh-based
     if args.mesh:
         return _run_sharded(args, cfg, dtype)
     if args.engine in ("fast", "pallas"):
@@ -291,11 +293,20 @@ def _run_sharded(args, cfg, dtype):
     if cfg.include_validation:
         assert transport.validate_tables(cfg, ct), "Invalid Correction Terms"
 
-    if args.engine in ("fast", "pallas", "halo"):
+    if args.engine in ("fast", "pallas", "halo", "auto"):
         mesh = sharded_fast.make_mesh_2d(ng, nx) if ng > 1 else \
             sharded_fast.make_mesh_1d(nx)
         distributed.assert_mesh_spans_hosts(mesh)
-        if args.engine == "halo":
+        if args.engine == "auto":
+            from . import parallel
+
+            if args.dtype != "float32":
+                print("note: the auto-selected pallas engines are "
+                      "float32-only")
+            eng = parallel.make_multichip_engine(
+                cfg, tables, mesh, scan_tol=args.scan_tol)
+            print(f"auto engine: {type(eng).__name__}")
+        elif args.engine == "halo":
             from .parallel.halo_pallas import HaloPallasEngine
 
             if args.dtype != "float32":
