@@ -287,6 +287,7 @@ def test_fuzz_vs_single_chip(mesh8, seed):
         dt=float(10.0 ** rng.uniform(-6, -5)),
         max_timesteps=5,
         include_validation=False,
+        bdf2_symmetric_half=bool(rng.integers(0, 2)),
     )
     tables, _, _ = transport.build_tables(cfg)
     try:
