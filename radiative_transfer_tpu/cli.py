@@ -30,33 +30,51 @@ import numpy as np
 
 
 def _echo_inputs(cfg) -> None:
-    """Input echo in the spirit of display_input_quantities
-    (src/ParameterHandler.cpp:20-96)."""
-    print("filename-driven configuration:")
-    rows = [
-        ("M (quadrature order)", cfg.M),
-        ("G (energy groups)", cfg.G),
-        ("N (spatial cells)", cfg.N),
-        ("X (slab thickness, cm)", cfg.X),
-        ("dx", cfg.dx),
-        ("efirst / elast (keV)", f"{cfg.efirst} / {cfg.elast}"),
-        ("bc left/right indicator", f"{cfg.bc_left_indicator} / {cfg.bc_right_indicator}"),
-        ("use_mg_equilib", cfg.use_mg_equilib),
-        ("rho (g/cc)", cfg.rho),
-        ("kappa_grey (cm^2/g)", cfg.kappa_grey),
-        ("T (keV)", cfg.T),
-        ("V (cm/sh)", cfg.V),
-        ("use_correction", cfg.use_correction),
-        ("ts_method (1 BE, 2 CN, 3 BDF2)", cfg.ts_method),
-        ("dt (sh)", cfg.dt),
-        ("max_timesteps", cfg.max_timesteps),
-        ("include_validation", cfg.include_validation),
-        ("group bounds from file", cfg.have_group_bounds),
-        ("group kappa from file", cfg.have_group_absorption_opacities),
-    ]
-    w = max(len(k) for k, _ in rows)
-    for k, v in rows:
-        print(f"  {k:<{w}} : {v}")
+    """Byte-format replica of display_input_quantities
+    (src/ParameterHandler.cpp:20-96): same lines, same default-`cout`
+    number formatting (%g at 6 significant digits), same BC wording and
+    blank-line placement. psi_source prints Eigen-style (column-aligned
+    matrix; one value per line when G==1, matching a column vector)."""
+    from .constants import SPEED_OF_LIGHT
+
+    g = lambda v: f"{v:.6g}"  # noqa: E731 - cout's default double format
+    bc_name = {0: "vacuum", 2: "reflective", 1: "source"}
+
+    out = ["", "--- Input Parameters ---"]
+    out.append(f"Angle quadrature order: {cfg.M}")
+    out.append(f"Number of energy groups: {cfg.G}")
+    if cfg.have_group_bounds:
+        out.append("Group bounds (keV) specified in file: "
+                   f"{cfg.filename_group_bounds}")
+    else:
+        out.append("Group bounds (keV) will be computed logarithmically, "
+                   f"with first group edge at {g(cfg.efirst)} and last "
+                   f"group edge at {g(cfg.elast)}")
+    out.append(f"Slab thickness (cm): {g(cfg.X)}")
+    out.append(f"Number of cells: {cfg.N}")
+    out.append(f"Material density (g/cm^3): {g(cfg.rho)}")
+    if cfg.have_group_absorption_opacities:
+        out.append("Group opacities (cm^2/g) specified in file: "
+                   f"{cfg.filename_group_kappa}")
+    else:
+        out.append("Group opacities will be set to the constant grey "
+                   f"opacity (cm^2/g): {g(cfg.kappa_grey)}")
+    out.append(f"Material temperature (keV): {g(cfg.T)}")
+    out.append(f"Material velocity (cm/shake): {g(cfg.V)}")
+    out.append(f"Beta: {g(cfg.V / SPEED_OF_LIGHT)}")
+    out.append("Right boundary condition: "
+               + bc_name.get(cfg.bc_right_indicator,
+                             "Incorrect boundary conditions provided."))
+    out.append("Left boundary condition: "
+               + bc_name.get(cfg.bc_left_indicator,
+                             "Incorrect boundary conditions provided."))
+    out.append("")
+    out.append("Psi_source: ")
+    src = [[g(v) for v in row] for row in cfg.psi_source] or [[]]
+    w = max((len(s) for row in src for s in row), default=0)
+    for row in src:
+        out.append(" ".join(s.rjust(w) for s in row).rstrip())
+    print("\n".join(out))
 
 
 def main(argv=None) -> int:

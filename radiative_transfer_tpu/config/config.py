@@ -144,6 +144,11 @@ class Config:
     group_bounds: Tuple[float, ...] = ()             # (G+1,)
     have_group_absorption_opacities: bool = False
     group_kappa: Tuple[float, ...] = ()              # (G,)
+    # Source-file names for the two tables above (display only — the
+    # values are already loaded; ParameterHandler keeps and echoes them,
+    # src/ParameterHandler.cpp:25,34).
+    filename_group_bounds: str = ""
+    filename_group_kappa: str = ""
     rho: float = 1.0              # material density (g/cm^3)
     kappa_grey: float = 1.0       # grey absorption opacity (cm^2/g)
     T: float = 1.0                # material temperature (keV)
@@ -263,8 +268,12 @@ def load_config(path: str, **overrides) -> Config:
 
     have_group_bounds = prm.get_bool("have_group_bounds", False)
     group_bounds: Tuple[float, ...] = ()
+    fname_bounds = fname_kappa = ""
     if have_group_bounds:
         fname = prm.get_str("filename_group_bounds", "NA")
+        # The reference stores (and echoes) the name with its "../prm/"
+        # run-directory prefix prepended (ParameterHandler.cpp:141).
+        fname_bounds = "../prm/" + fname
         vals = _read_table(_resolve_aux(path, fname))
         if vals.size != G + 1:
             raise ValueError(
@@ -277,6 +286,7 @@ def load_config(path: str, **overrides) -> Config:
     group_kappa: Tuple[float, ...] = ()
     if have_group_kappa:
         fname = prm.get_str("filename_group_kappa", "NA")
+        fname_kappa = "../prm/" + fname  # ParameterHandler.cpp:172
         vals = _read_table(_resolve_aux(path, fname))
         if vals.size != G:
             raise ValueError(
@@ -300,6 +310,8 @@ def load_config(path: str, **overrides) -> Config:
         group_bounds=group_bounds,
         have_group_absorption_opacities=have_group_kappa,
         group_kappa=group_kappa,
+        filename_group_bounds=fname_bounds,
+        filename_group_kappa=fname_kappa,
         rho=prm.get_float("rho", 1.0),
         kappa_grey=prm.get_float("kappa_grey", 1.0),
         T=prm.get_float("T", 1.0),

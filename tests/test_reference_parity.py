@@ -145,6 +145,58 @@ def test_deck_matches_reference_binary(transfer_binary, tmp_path, deck, steps):
     assert np.abs(np.loadtxt(os.path.join(refdir, "phi.csv"))).max() > 0
 
 
+def _echo_block(text, M):
+    """The display_input_quantities block: from the banner through the
+    M psi_source rows (src/ParameterHandler.cpp:20-96)."""
+    lines = [ln.rstrip() for ln in text.splitlines()]
+    start = lines.index("--- Input Parameters ---")
+    psi = lines.index("Psi_source:", start)
+    return lines[start:psi], [ln for ln in lines[psi + 1: psi + 1 + M + 2]
+                              if ln.strip()][:M]
+
+
+@pytest.mark.parametrize("deck,steps", [
+    ("single_group.prm", 1),
+    ("llnl_slab_test.prm", 1),
+])
+def test_input_echo_matches_reference_binary(transfer_binary, tmp_path,
+                                             deck, steps):
+    """Console parity: our CLI's input echo reproduces
+    display_input_quantities byte-for-byte on the non-matrix lines
+    (same wording, ordering, %g-6 number format, blank-line placement);
+    psi_source rows compare token-wise (Eigen pads columns, the shim
+    build does not)."""
+    deck_path = _deck_with_steps(reference_deck(deck), steps, str(tmp_path))
+    rundir = os.path.join(str(tmp_path), "build")
+    os.makedirs(rundir, exist_ok=True)
+    prmdir = os.path.join(str(tmp_path), "prm")
+    os.makedirs(prmdir, exist_ok=True)
+    for name in os.listdir(os.path.join(REF, "prm")):
+        if name.endswith(".txt"):
+            shutil.copy(os.path.join(REF, "prm", name), prmdir)
+    res = subprocess.run([transfer_binary, deck_path], cwd=rundir,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stdout[-2000:]
+
+    import io
+    from contextlib import redirect_stdout
+
+    from radiative_transfer_tpu.cli import _echo_inputs
+    from radiative_transfer_tpu.config.config import load_config
+
+    cfg = load_config(deck_path)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        _echo_inputs(cfg)
+
+    ref_head, ref_psi = _echo_block(res.stdout, cfg.M)
+    our_head, our_psi = _echo_block(buf.getvalue(), cfg.M)
+    # "Psi_source: " keeps a trailing space in the reference; rstrip'd
+    # lines above make the header comparison whitespace-exact otherwise.
+    assert our_head == ref_head
+    assert [ln.split() for ln in our_psi] == [ln.split() for ln in ref_psi]
+
+
 def _run_ours_pallas(deck_path, outdir):
     """Same deck through the f32 Pallas engine (diagnostics in f64)."""
     import jax.numpy as jnp
