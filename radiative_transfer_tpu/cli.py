@@ -77,6 +77,39 @@ def _echo_inputs(cfg) -> None:
     print("\n".join(out))
 
 
+def _echo_solver_tables(cfg) -> None:
+    """Byte-format replica of the quadrature and energy-group tables the
+    reference prints at Solver construction (src/solver.cpp:80-87,
+    107-122): setw/left iostream layout, showpos on the quadrature
+    values, %g-6 number formatting, same trailing blank lines."""
+    from .ops.groups import build_group_grid
+    from .ops.quadrature import gauss_legendre
+
+    g = lambda v: f"{v:.6g}"        # noqa: E731 - cout default format
+    gp = lambda v: f"{v:+.6g}"      # noqa: E731 - with showpos
+
+    mu, wt = gauss_legendre(cfg.M)
+    out = ["Mu".ljust(16) + "Wt".ljust(16),
+           "--".ljust(16) + "--".ljust(16)]
+    for i in range(cfg.M):
+        out.append(gp(mu[i]).ljust(16) + gp(wt[i]).ljust(16))
+    out.append("")
+
+    grid = build_group_grid(cfg.G, cfg.efirst, cfg.elast,
+                            cfg.group_bounds_array())
+    out.append("Group Index".ljust(13) + "Average Energy".ljust(16)
+               + "Upper Energy".ljust(14) + "Group Width".ljust(13))
+    out.append("-----------".ljust(13) + "(keV)---------".ljust(16)
+               + "(keV)-------".ljust(14) + "(keV)------".ljust(13))
+    for gi in range(cfg.G):
+        out.append(str(gi).ljust(13) + g(grid.e_ave[gi]).ljust(16)
+                   + g(grid.e_edge[gi + 1]).ljust(14)
+                   + g(grid.de_ave[gi]).ljust(13))
+    out.append("")
+    out.append("")
+    print("\n".join(ln.rstrip() for ln in out))
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="radiative_transfer_tpu",
@@ -158,6 +191,7 @@ def main(argv=None) -> int:
     cfg = load_config(args.deck, **overrides)
     print(f"filename: {args.deck}")
     _echo_inputs(cfg)
+    _echo_solver_tables(cfg)
 
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
 

@@ -196,6 +196,23 @@ def test_input_echo_matches_reference_binary(transfer_binary, tmp_path,
     assert our_head == ref_head
     assert [ln.split() for ln in our_psi] == [ln.split() for ln in ref_psi]
 
+    # The Solver-construction quadrature + group tables
+    # (solver.cpp:80-87, 107-122), byte-exact after rstrip.
+    from radiative_transfer_tpu.cli import _echo_solver_tables
+
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        _echo_solver_tables(cfg)
+
+    def table_block(text):
+        lines = [ln.rstrip() for ln in text.splitlines()]
+        start = next(i for i, ln in enumerate(lines) if ln.startswith("Mu"))
+        end = next(i for i, ln in enumerate(lines[start:], start)
+                   if ln.startswith("Group Index"))
+        return lines[start: end + 2 + cfg.G]
+
+    assert table_block(buf2.getvalue()) == table_block(res.stdout)
+
 
 def _run_ours_pallas(deck_path, outdir):
     """Same deck through the f32 Pallas engine (diagnostics in f64)."""
