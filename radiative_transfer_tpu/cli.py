@@ -219,8 +219,16 @@ def main(argv=None) -> int:
               f"({wall / max(steps_run, 1) * 1e3:.2f} ms/step, "
               f"{ups / wall / 1e6:.1f} M updates/s)")
 
-    # Balance diagnostic (printed, not asserted — solver.cpp:275-282).
+    # Balance diagnostic (printed, not asserted) in the reference's
+    # per-group console format (solver.cpp:277-282), plus a summary.
     bal = np.asarray(result.balance)
+    if result.sources is not None:
+        srcs = np.asarray(result.sources)
+        snks = np.asarray(result.sinks)
+        for gi in range(bal.shape[0]):
+            print(f"sources: {srcs[gi]:.6g}")
+            print(f"sinks: {snks[gi]:.6g}")
+            print(f"balance at ({gi}): {bal[gi]:.6g}")
     print("balance |sinks-sources|/sources per group:")
     print("  max = %.3e   mean = %.3e" % (bal.max(), bal.mean()))
 

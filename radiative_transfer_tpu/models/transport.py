@@ -339,12 +339,14 @@ def compute_F(psi: jnp.ndarray, mu: jnp.ndarray, wt: jnp.ndarray) -> jnp.ndarray
     return jnp.einsum("m,mgn->gn", mu * wt, psi)
 
 
-def compute_balance(
+def compute_balance_parts(
     cfg: Config, tables: Tables, ends: jnp.ndarray, phi: jnp.ndarray
-) -> jnp.ndarray:
-    """Per-group |sinks - sources| / sources using edge currents, absorption
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-group (sources, sinks, balance) using edge currents, absorption
     and emission (solver.cpp:240-284). Mirrors the reference edge choice:
-    the mu<0 current at the right boundary uses the LEFT edge of cell N-1."""
+    the mu<0 current at the right boundary uses the LEFT edge of cell N-1.
+    sources/sinks are returned so drivers can echo the reference's
+    console lines (solver.cpp:277-282)."""
     Mh = cfg.M // 2
     mu, wt = tables.mu, tables.wt
     muw_neg, muw_pos = (mu * wt)[:Mh], (mu * wt)[Mh:]
@@ -360,7 +362,14 @@ def compute_balance(
 
     sources = j_half_plus + jN_half_minus + emission
     sinks = jN_half_plus + j_half_minus + absorption
-    return jnp.abs(sinks - sources) / sources
+    return sources, sinks, jnp.abs(sinks - sources) / sources
+
+
+def compute_balance(
+    cfg: Config, tables: Tables, ends: jnp.ndarray, phi: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-group |sinks - sources| / sources (solver.cpp:240-284)."""
+    return compute_balance_parts(cfg, tables, ends, phi)[2]
 
 
 def compute_group_ends(
@@ -383,6 +392,10 @@ class SolveResult(NamedTuple):
     left_ends: jnp.ndarray  # (G,)
     right_ends: jnp.ndarray # (G,)
     state: State
+    # Balance components, kept for the reference's per-group console
+    # echo (solver.cpp:277-282); None on legacy constructions.
+    sources: Optional[jnp.ndarray] = None  # (G,)
+    sinks: Optional[jnp.ndarray] = None    # (G,)
 
 
 def result_from_ends(cfg: Config, tables: Tables, ends: jnp.ndarray,
@@ -397,12 +410,14 @@ def result_from_ends(cfg: Config, tables: Tables, ends: jnp.ndarray,
     psi = psi_from_ends(ends)
     phi = compute_phi(psi, wt)
     left_ends, right_ends = compute_group_ends(cfg, tables, ends)
+    sources, sinks, balance = compute_balance_parts(cfg, tables, ends, phi)
     return SolveResult(
         psi=psi, phi=phi,
         phi_plus=compute_phi_plus(psi, wt),
         F=compute_F(psi, mu, wt),
-        balance=compute_balance(cfg, tables, ends, phi),
+        balance=balance,
         left_ends=left_ends, right_ends=right_ends, state=state,
+        sources=sources, sinks=sinks,
     )
 
 
@@ -419,9 +434,11 @@ def run_problem(cfg: Config, dtype=jnp.float64, num_steps: Optional[int] = None)
     phi = compute_phi(psi, tables.wt)
     phi_plus = compute_phi_plus(psi, tables.wt)
     F = compute_F(psi, tables.mu, tables.wt)
-    balance = compute_balance(cfg, tables, state.ends, phi)
+    sources, sinks, balance = compute_balance_parts(
+        cfg, tables, state.ends, phi)
     left_ends, right_ends = compute_group_ends(cfg, tables, state.ends)
     return SolveResult(
         psi=psi, phi=phi, phi_plus=phi_plus, F=F, balance=balance,
         left_ends=left_ends, right_ends=right_ends, state=state,
+        sources=sources, sinks=sinks,
     )

@@ -213,6 +213,32 @@ def test_input_echo_matches_reference_binary(transfer_binary, tmp_path,
 
     assert table_block(buf2.getvalue()) == table_block(res.stdout)
 
+    # Balance console lines (solver.cpp:277-282): identical labels and
+    # ordering; values to golden tolerance (sources/sinks 1e-4 rel; the
+    # balance ratio is |sinks-sources|/sources, a cancellation-level
+    # quantity, so it gets an absolute floor).
+    import jax.numpy as jnp
+
+    from radiative_transfer_tpu.models import transport
+
+    ref_bal = [ln for ln in res.stdout.splitlines()
+               if ln.startswith(("sources:", "sinks:", "balance at"))]
+    assert len(ref_bal) == 3 * cfg.G
+    result = transport.run_problem(cfg, dtype=jnp.float64)
+    srcs = np.asarray(result.sources)
+    snks = np.asarray(result.sinks)
+    bal = np.asarray(result.balance)
+    ours = []
+    for gi in range(cfg.G):
+        ours += [f"sources: {srcs[gi]:.6g}", f"sinks: {snks[gi]:.6g}",
+                 f"balance at ({gi}): {bal[gi]:.6g}"]
+    for a, b in zip(ours, ref_bal):
+        (la, va), (lb, vb) = a.rsplit(":", 1), b.rsplit(":", 1)
+        assert la == lb
+        fa, fb = float(va), float(vb)
+        tol = 1e-4 * abs(fb) + (1e-6 if la.startswith("balance") else 0.0)
+        assert abs(fa - fb) <= tol, f"{a!r} vs {b!r}"
+
 
 def _run_ours_pallas(deck_path, outdir):
     """Same deck through the f32 Pallas engine (diagnostics in f64)."""
