@@ -60,10 +60,13 @@ def run_deck(name: str, cfg, checkpoints, engines=("fast", "pallas")):
 
     ref_state = transport.initial_state(cfg, tables)
 
-    eng_f = fast_sweep.FastEngine(cfg, tables, dtype=jnp.float32)
-    eng_p = pallas_sweep.PallasEngine(cfg, tables)
-    st_f = eng_f.init_state() if "fast" in engines else None
-    st_p = eng_p.init_state() if "pallas" in engines else None
+    eng_f = st_f = eng_p = st_p = None
+    if "fast" in engines:
+        eng_f = fast_sweep.FastEngine(cfg, tables, dtype=jnp.float32)
+        st_f = eng_f.init_state()
+    if "pallas" in engines:
+        eng_p = pallas_sweep.PallasEngine(cfg, tables)
+        st_p = eng_p.init_state()
 
     rows = []
     done = 0

@@ -308,16 +308,8 @@ def _run(args, cfg, dtype):
         steps_run = cfg.max_timesteps - resumed
         if resumed:
             print(f"resumed from step {resumed}")
-        psi = transport.psi_from_ends(state.ends)
-        phi = transport.compute_phi(psi, tables.wt)
-        le, re_ = transport.compute_group_ends(cfg, tables, state.ends)
-        result = transport.SolveResult(
-            psi=psi, phi=phi,
-            phi_plus=transport.compute_phi_plus(psi, tables.wt),
-            F=transport.compute_F(psi, tables.mu, tables.wt),
-            balance=transport.compute_balance(cfg, tables, state.ends, phi),
-            left_ends=le, right_ends=re_, state=state,
-        )
+        result = transport.result_from_ends(cfg, tables, state.ends,
+                                            state=state)
         e_ave = np.asarray(grid.e_ave)
     elif args.balance_every:
         result, e_ave = _run_with_balance(args, cfg, dtype)
@@ -388,24 +380,49 @@ def _run_sharded(args, cfg, dtype):
         else:
             eng = sharded_fast.ShardedFastEngine(cfg, tables, mesh,
                                                  dtype=dtype)
-        fst = eng.solve()
+        check_fn = _make_check_fn(args)
+        resumed = 0
+        if args.checkpoint_dir:
+            from .utils import checkpoint as ckpt_mod
+
+            fst, resumed = ckpt_mod.solve_with_checkpoints_engine(
+                eng, cfg, args.checkpoint_dir, every=args.checkpoint_every,
+                resume=not args.no_resume, check_fn=check_fn,
+            )
+            if resumed:
+                print(f"resumed from step {resumed}")
+        else:
+            fst = eng.solve()
         ends = eng.ends(fst)
         state = None
     else:
         mesh = sharded.make_mesh(nx, ng)
         distributed.assert_mesh_spans_hosts(mesh)
+        check_fn = _make_check_fn(args)
+        resumed = 0
         state = transport.initial_state(cfg, tables, dtype=dtype)
-        state = sharded.solve_sharded(cfg, tables, state, mesh)
+        if args.checkpoint_dir:
+            from .utils import checkpoint as ckpt_mod
+
+            state, resumed = ckpt_mod.solve_with_checkpoints(
+                cfg, tables, state, args.checkpoint_dir,
+                every=args.checkpoint_every, resume=not args.no_resume,
+                check_fn=check_fn, solve_fn=lambda s, n:
+                    sharded.solve_sharded(cfg, tables, s, mesh, num_steps=n),
+            )
+            if resumed:
+                print(f"resumed from step {resumed}")
+        else:
+            state = sharded.solve_sharded(cfg, tables, state, mesh)
         ends = state.ends
 
     import jax.numpy as jnp
 
     ends64 = jnp.asarray(ends, jnp.float64)
-    check_fn = _make_check_fn(args)
     if check_fn is not None:
         check_fn(ends64, cfg.max_timesteps)
     result = transport.result_from_ends(cfg, tables, ends64, state=state)
-    return result, np.asarray(grid.e_ave), cfg.max_timesteps
+    return result, np.asarray(grid.e_ave), cfg.max_timesteps - resumed
 
 
 def _run_with_balance(args, cfg, dtype):
@@ -448,16 +465,8 @@ def _run_with_balance(args, cfg, dtype):
         print(f"step {done:>6d}: balance max={bal.max():.3e} "
               f"mean={bal.mean():.3e}   [{metrics.summary()}]")
 
-    psi = transport.psi_from_ends(state.ends)
-    phi = transport.compute_phi(psi, tables.wt)
-    le, re_ = transport.compute_group_ends(cfg, tables, state.ends)
-    result = transport.SolveResult(
-        psi=psi, phi=phi,
-        phi_plus=transport.compute_phi_plus(psi, tables.wt),
-        F=transport.compute_F(psi, tables.mu, tables.wt),
-        balance=transport.compute_balance(cfg, tables, state.ends, phi),
-        left_ends=le, right_ends=re_, state=state,
-    )
+    result = transport.result_from_ends(cfg, tables, state.ends,
+                                        state=state)
     return result, np.asarray(grid.e_ave)
 
 

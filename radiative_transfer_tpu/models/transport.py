@@ -300,23 +300,33 @@ def solve(
 
     The jitted runner is cached per (cfg, tables-id, n): callers looping
     over solves (chunked/checkpointed drivers) must not re-trace the
-    identical program every call.
+    identical program every call. The cache is a small FIFO (so a
+    parameter sweep building fresh tables per solve does not pin every
+    Tables pytree + executable forever) and each entry holds a strong
+    reference to its tables object (so the id key can never be reused
+    by a different live object).
     """
     n = cfg.max_timesteps if num_steps is None else num_steps
     key = (cfg, id(tables), n)
-    run = _SOLVE_CACHE.get(key)
-    if run is None:
+    hit = _SOLVE_CACHE.get(key)
+    if hit is None:
         step = make_step_fn(cfg, tables)
 
         @jax.jit
         def run(state: State) -> State:
             return jax.lax.fori_loop(0, n, lambda _, s: step(s), state)
 
-        _SOLVE_CACHE[key] = run
+        _SOLVE_CACHE[key] = (run, tables)
+        while len(_SOLVE_CACHE) > _SOLVE_CACHE_MAX:
+            _SOLVE_CACHE.pop(next(iter(_SOLVE_CACHE)))
+    else:
+        run = hit[0]
+        _SOLVE_CACHE[key] = _SOLVE_CACHE.pop(key)  # LRU refresh
     return run(state)
 
 
 _SOLVE_CACHE: dict = {}
+_SOLVE_CACHE_MAX = 16
 
 
 # ---------------------------------------------------------------------------

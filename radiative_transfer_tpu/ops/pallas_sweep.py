@@ -282,11 +282,14 @@ def _make_kernel(kind: int, *, Bh: int, blk: int, Mh: int, G: int,
     return kernel
 
 
-def _make_sharded_kernel(kind: int, *, Bh: int, blk: int,
-                         npass: int = None):
+def _make_sharded_packed_kernel(kind: int, *, rows: int, blk: int,
+                                npass: int = None):
     """Zero-inflow substep kernel for the multi-chip engine
-    (parallel/sharded_pallas.py). Same per-block math as _make_kernel,
-    with three changes that make the kernel shard-local:
+    (parallel/sharded_pallas.py), with BOTH direction halves packed into
+    the row (sublane) dimension: rows = 2*Bh_local.
+
+    Same per-block math as _make_kernel, with three changes that make
+    the kernel shard-local:
 
     * the half inflow carry starts at ZERO — the true inflow (boundary
       source / upstream shard / reflective coupling) is applied lazily as
@@ -303,87 +306,19 @@ def _make_sharded_kernel(kind: int, *, Bh: int, blk: int,
       upstream shard's corrected last-cell edge, delivered by ppermute)
       instead of the folded-boundary zero fill (which shard 0 keeps).
 
-    Input order: coef, corr_e, [corr_p, halo_p,] [corr_h, halo_h,]
-    planes...; corr_* packs (inc, d0, a, ln_a) per (half, row).
-    """
-
-    def kernel(*refs):
-        if kind == BDF:
-            (coef_ref, m_ref, ce_ref, cp_ref, ch_ref, hp_ref, hh_ref,
-             e0r, e1r, p0r, p1r, h0r, h1r,
-             o0r, o1r, carry, ptail, htail) = refs
-        elif kind == CN:
-            (coef_ref, m_ref, ce_ref, cp_ref, hp_ref,
-             e0r, e1r, p1r, o0r, o1r, carry, ptail, htail) = refs
-        else:
-            (coef_ref, m_ref, ce_ref,
-             e0r, e1r, o0r, o1r, carry, ptail, htail) = refs
-
-        i = pl.program_id(1)
-
-        @pl.when(i == 0)
-        def _():
-            carry[:] = jnp.zeros_like(carry)
-            if kind in (CN, BDF):
-                ptail[:] = hp_ref[0]
-            else:
-                ptail[:] = jnp.zeros_like(ptail)
-            if kind == BDF:
-                htail[:] = hh_ref[0]
-            else:
-                htail[:] = jnp.zeros_like(htail)
-
-        kc = _unpack_coef(coef_ref)
-        col = lax.broadcasted_iota(jnp.int32, (Bh, blk), 1)
-        jloc = (i * blk + col).astype(jnp.float32)
-
-        def corr_pair(z0, z1, cref):
-            c = cref[0]                                # (Bh, 4)
-            inc, d0, a, ln_a = (c[:, k:k + 1] for k in range(4))
-            apj = jnp.exp(jloc * ln_a) * inc           # a^j * inc
-            return z0 + d0 * apj, z1 + a * apj
-
-        e0, e1 = corr_pair(e0r[0], e1r[0], ce_ref)
-        if kind == BDF:
-            p0, p1 = corr_pair(p0r[0], p1r[0], cp_ref)
-            h0, h1 = corr_pair(h0r[0], h1r[0], ch_ref)
-        elif kind == CN:
-            _, p1 = corr_pair(p1r[0], p1r[0], cp_ref)  # only edge 1 used
-            p0, h0, h1 = e0, e0, e1                    # unused by CN
-        else:
-            p0, p1, h0, h1 = e0, e1, e0, e1            # unused by BE
-
-        o0, o1 = _substep_block(kind, kc, col, blk, m_ref,
-                                e0, e1, p0, p1, h0, h1,
-                                carry, ptail[:], htail[:], npass)
-        if kind in (CN, BDF):
-            ptail[:] = p1[:, -1:]
-        if kind == BDF:
-            htail[:] = h1[:, -1:]
-        o0r[0], o1r[0] = o0, o1
-
-    return kernel
-
-
-def _make_sharded_packed_kernel(kind: int, *, rows: int, blk: int,
-                                npass: int = None):
-    """The sharded zero-inflow kernel with BOTH direction halves packed
-    into the row (sublane) dimension: rows = 2*Bh_local.
-
-    Because every row runs zero-inflow (the true inflow — boundary
-    source, upstream shard, reflective coupling — rides as a deferred
-    affine correction, see _make_sharded_kernel), the two halves are
-    fully independent within a launch, so there is no reason to
-    serialise them on the grid: a 1-D grid of nb visits processes
-    (rows, blk) blocks with both halves' rows side by side. This halves
-    the sequential visit count (each visit costs ~2 us of carry-chain
+    Because every row runs zero-inflow, the two halves are fully
+    independent within a launch, so there is no reason to serialise
+    them on the grid: a 1-D grid of nb visits processes (rows, blk)
+    blocks with both halves' rows side by side. This halves the
+    sequential visit count (each visit costs ~2 us of carry-chain
     latency regardless of occupancy) and fills the 8-sublane tiles when
     Bh_local < 8 (e.g. gray S_8 decks have Bh_local = 4 -> 8 packed
     rows). Layout conversion (2, Bh, X) <-> (2*Bh, X) is a free
     leading-dim collapse done by the caller outside the kernel.
 
-    Same input order as _make_sharded_kernel; every ref is 2-D
-    (rows, X) and the grid is (nblocks,).
+    Input order: coef, corr_e, [corr_p, halo_p,] [corr_h, halo_h,]
+    planes...; corr_* packs (inc, d0, a, ln_a) per row; every ref is
+    2-D (rows, X) and the grid is (nblocks,).
     """
 
     def kernel(*refs):

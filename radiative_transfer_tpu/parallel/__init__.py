@@ -29,4 +29,11 @@ def make_multichip_engine(cfg, tables, mesh, engine: str = "auto", **kw):
     try:
         return halo_pallas.HaloPallasEngine(cfg, tables, mesh, **kw)
     except ValueError:
+        # Drop halo-only kwargs (e.g. steps_per_launch) so the fallback
+        # constructor does not die on an unexpected keyword.
+        import inspect
+
+        accepted = inspect.signature(
+            sharded_pallas.ShardedPallasEngine.__init__).parameters
+        kw = {k: v for k, v in kw.items() if k in accepted}
         return sharded_pallas.ShardedPallasEngine(cfg, tables, mesh, **kw)

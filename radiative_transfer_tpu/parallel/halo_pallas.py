@@ -137,9 +137,14 @@ class HaloPallasEngine:
                    and blk < self.N_loc
                    and self.N_loc % (blk * 2) == 0):
                 blk *= 2
-        if self.N_loc % blk != 0:
+        if blk < 2:
+            # The divisor loop leaves blk=1 whenever N_loc is odd; the
+            # truncated-scan machinery needs at least one Hillis-Steele
+            # pass (block >= 2) to exist.
             raise ValueError(
-                f"N_loc={self.N_loc} has no usable power-of-two block")
+                f"N_loc={self.N_loc} has no usable power-of-two block "
+                "(per-shard cell count must be even) — use "
+                "ShardedPallasEngine or adjust N/mesh")
         if not interpret and blk % 128 != 0:
             # Mosaic needs the lane block dim to be a multiple of 128 (the
             # extended halo+domain array is always > 1 block, so the

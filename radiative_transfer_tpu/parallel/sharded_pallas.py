@@ -24,7 +24,7 @@ src/solver.cpp:628-811) — this design comes from the problem structure:
   global mu<0 outflow (solver.cpp:679-683), and gives every shard its
   inc. The correction is NOT materialised: it rides along as a pending
   (inc, kind) tag and is applied in-register when the NEXT kernel loads
-  the planes (ops/pallas_sweep._make_sharded_kernel). Planes only touch
+  the planes (ops/pallas_sweep._make_sharded_packed_kernel). Planes only touch
   HBM inside kernel launches.
 * The CN/BDF one-cell upwind shift crosses shard boundaries at the first
   local cell: one ppermute of the CORRECTED last-cell edge per history

@@ -110,12 +110,15 @@ def solve_with_checkpoints(
     resume: bool = True,
     num_steps: Optional[int] = None,
     check_fn=None,
+    solve_fn=None,
 ) -> Tuple[State, int]:
     """Run the solve in chunks of `every` steps, checkpointing after each
     chunk; on entry, resume from the newest valid checkpoint if present.
     `check_fn(ends, step)` (utils/debug.make_ends_checker) runs after each
     chunk INCLUDING the resumed state, before anything is written — a
     failing check aborts without committing a poisoned checkpoint.
+    `solve_fn(state, n) -> state` overrides the default single-device
+    chunk runner (e.g. parallel.sharded.solve_sharded bound to a mesh).
 
     Returns (final_state, start_step_resumed_from). The trajectory is
     bit-identical to an uninterrupted `transport.solve` because chunking a
@@ -136,11 +139,14 @@ def solve_with_checkpoints(
             if check_fn is not None:
                 check_fn(state.ends, start)
 
-    step = transport.make_step_fn(cfg, tables)
+    if solve_fn is not None:
+        run_chunk = solve_fn
+    else:
+        step = transport.make_step_fn(cfg, tables)
 
-    @functools.partial(jax.jit, static_argnums=1)
-    def run_chunk(s: State, n: int) -> State:
-        return lax.fori_loop(0, n, lambda _, x: step(x), s)
+        @functools.partial(jax.jit, static_argnums=1)
+        def run_chunk(s: State, n: int) -> State:
+            return lax.fori_loop(0, n, lambda _, x: step(x), s)
 
     done = start
     while done < total:
@@ -162,16 +168,33 @@ def solve_with_checkpoints_engine(
     num_steps: Optional[int] = None,
     check_fn=None,
 ):
-    """Checkpointed solve for the FAST/Pallas engines (any engine exposing
-    init_state/solve/ends_pair/from_ends). Checkpoints store the same
-    portable global (M, G, N, 2) arrays as the general engine — the tiled
-    engine layout is converted at chunk boundaries, so a run checkpointed
-    by one engine can resume under another (or under the general solver).
+    """Checkpointed solve for the fast/Pallas/multi-chip engines (any
+    engine exposing init_state/solve/from_ends plus either the FlatState
+    layout with ends_pair, or ends + prev_half_ends materialisers like
+    ShardedPallasEngine). Checkpoints store the same portable global
+    (M, G, N, 2) arrays as the general engine — the engine layout is
+    converted at chunk boundaries, so a run checkpointed by one engine
+    can resume under another (or under the general solver).
 
     Note: engines may run reduced precision (float32); the checkpoint
     stores their arrays as float64 containers without adding information.
     """
     total = cfg.max_timesteps if num_steps is None else num_steps
+
+    def global_state(state) -> State:
+        if hasattr(eng, "prev_half_ends"):
+            prev, half = eng.prev_half_ends(state)
+            return State(
+                ends=np.asarray(eng.ends(state), np.float64),
+                prev_ends=np.asarray(prev, np.float64),
+                half_ends=np.asarray(half, np.float64),
+            )
+        return State(
+            ends=np.asarray(eng.ends_pair(state.e0, state.e1), np.float64),
+            prev_ends=np.asarray(eng.ends_pair(state.p0, state.p1), np.float64),
+            half_ends=np.asarray(eng.ends_pair(state.h0, state.h1), np.float64),
+        )
+
     start = 0
     state = None
     if resume:
@@ -190,11 +213,7 @@ def solve_with_checkpoints_engine(
         n = min(every, total - done)
         state = eng.solve(state, num_steps=n)
         done += n
-        gstate = State(
-            ends=np.asarray(eng.ends_pair(state.e0, state.e1), np.float64),
-            prev_ends=np.asarray(eng.ends_pair(state.p0, state.p1), np.float64),
-            half_ends=np.asarray(eng.ends_pair(state.h0, state.h1), np.float64),
-        )
+        gstate = global_state(state)
         if check_fn is not None:
             check_fn(gstate.ends, done)
         save_checkpoint(ckpt_dir, gstate, done, cfg)

@@ -126,3 +126,74 @@ def test_cli_checkpoint_fast_engine(tmp_path):
                      "--checkpoint-dir", str(tmp_path / "ck"),
                      "--checkpoint-every", "2"]) == 0
     assert ck.latest_checkpoint(str(tmp_path / "ck")).endswith("04.npz")
+
+
+def _csv_equal(dir1, dir2, names=("phi.csv", "psi.csv", "F.csv")):
+    for name in names:
+        with open(os.path.join(dir1, name), "rb") as f1, \
+             open(os.path.join(dir2, name), "rb") as f2:
+            assert f1.read() == f2.read(), name
+
+
+def test_cli_checkpoint_sharded_engine(tmp_path):
+    """--mesh with an engine path honours --checkpoint-dir (it used to
+    silently skip checkpointing): resumed run == same-chunking run."""
+    from radiative_transfer_tpu import cli
+
+    deck = reference_deck("single_group.prm")
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    common = [deck, "--mesh", "1x2", "--engine", "fast",
+              "--checkpoint-every", "3"]
+    assert cli.main(common + ["--steps", "6", "--outdir", out1,
+                              "--checkpoint-dir", ck1]) == 0
+    assert ck.latest_checkpoint(ck1).endswith("06.npz")
+    # interrupted at 3, resumed to 6
+    assert cli.main(common + ["--steps", "3",
+                              "--outdir", str(tmp_path / "x"),
+                              "--checkpoint-dir", ck2]) == 0
+    assert cli.main(common + ["--steps", "6", "--outdir", out2,
+                              "--checkpoint-dir", ck2]) == 0
+    _csv_equal(out1, out2)
+
+
+def test_cli_checkpoint_sharded_general(tmp_path):
+    """--mesh on the general (f64 scan) path checkpoints through the
+    mesh-bound solve_fn and resumes to the identical trajectory."""
+    from radiative_transfer_tpu import cli
+
+    deck = reference_deck("single_group.prm")
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    ckdir = str(tmp_path / "ck")
+    common = [deck, "--mesh", "1x2", "--checkpoint-every", "3"]
+    # uninterrupted, no checkpointing
+    assert cli.main([deck, "--mesh", "1x2", "--steps", "6",
+                     "--outdir", out1]) == 0
+    # interrupted at 3, resumed to 6 (general path chunking is
+    # bit-identical to the straight solve, see solve_with_checkpoints)
+    assert cli.main(common + ["--steps", "3",
+                              "--outdir", str(tmp_path / "x"),
+                              "--checkpoint-dir", ckdir]) == 0
+    assert cli.main(common + ["--steps", "6", "--outdir", out2,
+                              "--checkpoint-dir", ckdir]) == 0
+    _csv_equal(out1, out2)
+
+
+def test_cli_checkpoint_halo_engine(tmp_path):
+    """--engine halo (mesh 1x1 implied) honours --checkpoint-dir."""
+    from radiative_transfer_tpu import cli
+
+    # the halo engine needs the truncated-scan regime: raise N/X so the
+    # per-cell attenuation bounds carry influence within the block
+    with open(reference_deck("single_group.prm")) as f:
+        text = f.read().replace("N=100", "N=1024").replace("X=1.", "X=10.24")
+    deck = str(tmp_path / "gray_hires.prm")
+    with open(deck, "w") as f:
+        f.write(text)
+    out = str(tmp_path / "o")
+    ckdir = str(tmp_path / "ck")
+    assert cli.main([deck, "--steps", "4", "--outdir", out,
+                     "--engine", "halo", "--dtype", "float32",
+                     "--checkpoint-dir", ckdir,
+                     "--checkpoint-every", "2"]) == 0
+    assert ck.latest_checkpoint(ckdir).endswith("04.npz")

@@ -253,8 +253,20 @@ def test_make_multichip_engine_auto(mesh8):
 
     cfg2 = load_config(reference_deck("llnl_slab_test.prm"), N=64)
     tables2, _, _ = transport.build_tables(cfg2)
-    eng2 = parallel.make_multichip_engine(cfg2, tables2, mesh8, block=8)
+    # halo-only kwargs (steps_per_launch) must be dropped when the
+    # fallback constructor fires, not raise TypeError.
+    eng2 = parallel.make_multichip_engine(cfg2, tables2, mesh8, block=8,
+                                          steps_per_launch=4)
     assert isinstance(eng2, sharded_pallas.ShardedPallasEngine)
+
+
+def test_odd_shard_cells_guidance(mesh8):
+    """An odd per-shard cell count has no power-of-two block: the engine
+    must raise the guidance error up front, not crash in _scan_masks."""
+    cfg = _gray(N=1000, max_timesteps=2)   # N_loc = 125
+    tables, _, _ = transport.build_tables(cfg)
+    with pytest.raises(ValueError, match="power-of-two block"):
+        halo_pallas.HaloPallasEngine(cfg, tables, mesh8)
 
 
 @pytest.mark.parametrize("seed", range(8))
