@@ -257,7 +257,13 @@ class HaloPallasEngine:
             memory_space=pltpu.VMEM)
         seed_spec = pl.BlockSpec(
             (rows, C), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM)
-        reset_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        # Explicit (1, 1) block + i32 index map: a bare BlockSpec gets
+        # Pallas's default index map, whose literal-zero coordinates trace
+        # as i64 under the package-wide x64 mode — Mosaic then fails with
+        # "failed to legalize operation 'func.return'" on real TPUs (the
+        # interpreter never sees it, so CPU tests can't catch this).
+        reset_spec = pl.BlockSpec(
+            (1, 1), lambda i: (i * 0, i * 0), memory_space=pltpu.SMEM)
         mask_spec = pl.BlockSpec(
             (self._mask_count, 1, blk), lambda i: (i * 0, i * 0, i * 0),
             memory_space=pltpu.VMEM)
