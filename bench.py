@@ -61,13 +61,14 @@ def tpu_updates_per_s(M=32, G=1, N=1 << 20, steps=64, dtype="float32"):
     tables, _, _ = transport.build_tables(cfg, dtype=jdt)
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu and dtype == "float32":
-        # Fused single-pass Pallas kernel, 8 whole BDF2 timesteps per
-        # launch (ops/pallas_sweep.py::multi_step).
+        # Fused single-pass Pallas kernel, K whole BDF2 timesteps per
+        # launch (ops/pallas_sweep.py::multi_step); the engine picks the
+        # measured-best (block, K) pair (8192, 4 here).
         from radiative_transfer_tpu.ops.pallas_sweep import PallasEngine
 
-        K = 8
+        eng = PallasEngine(cfg, tables)  # auto block
+        K = min(eng.max_steps_per_launch(), steps)
         steps = max(steps - steps % K, K)
-        eng = PallasEngine(cfg, tables)  # auto block (4096 here)
         state = eng.init_state()
 
         @jax.jit

@@ -753,30 +753,37 @@ class PallasEngine:
             self.block //= 2
             if self.block == 0:
                 raise ValueError(f"N={cfg.N} has no power-of-two block")
-        # VMEM budget: the fused kernel keeps ~8 double-buffered block
-        # planes live (2 in + 6 out); Bh*block <= 2^17 f32 elements keeps
-        # the working set comfortable (Mosaic's scoped-VMEM limit is
-        # raised to _VMEM_LIMIT, but Bh=64 x blk=4096 still fails to
-        # compile at high fusion depth).
-        while self.Bh * self.block > (1 << 17) and self.block > 128:
+        # VMEM budget (auto mode only — an explicit `block` is pinned so
+        # callers/tests control the decomposition): the fused kernel keeps
+        # ~8 double-buffered block planes live (2 in + 6 out); Bh*block
+        # <= 2^17 f32 elements keeps the working set comfortable (Mosaic's
+        # scoped-VMEM limit is raised to _VMEM_LIMIT, but Bh=64 x blk=4096
+        # still fails to compile at high fusion depth).
+        while auto_block and self.Bh * self.block > (1 << 17) \
+                and self.block > 128:
             self.block //= 2
-        # BDF2 prefers the K=8 fusion regime at Bh*block <= 2^16:
-        # measured (16-group S_8, Bh=64) 32.6G at (blk=1024, K=8) vs
-        # 28.2G at (blk=2048, K=8) and 29.6G at (blk=2048, K=2); but not
-        # below blk=512 (128-group S_4, Bh=256: 21.1G at blk=512 vs
-        # 15.8G at blk=256).
-        while (cfg.ts_method == 3 and self.Bh * self.block > (1 << 16)
+        # BDF2 prefers Bh*block = 2^17 with K=4 steps/launch over the
+        # round-2 default 2^16 with K=8 (same-session sweep: headline
+        # Bh=16 55.4G at (8192, K=4) vs 54.0G at (4096, K=8); 16-group
+        # S_8 Bh=64 35.5G at (2048, K=4) vs 34.2G at (1024, K=8); gray
+        # S_8 Bh=4 13.1G vs 12.5G; 128-group S_4 neutral). (2^17, K=8)
+        # compiles but loses ~4%; max_steps_per_launch picks the matching
+        # K. Floor blk=512 (128-group S_4: 21.1G at 512 vs 15.8G at 256).
+        while (auto_block and cfg.ts_method == 3
+                and self.Bh * self.block > (1 << 17)
                 and self.block > 512):
             self.block //= 2
         # Small batches (Bh < 16) underfill grid visits, and the serial
         # inter-block carry makes the per-visit cost (~2 us) the floor:
-        # grow the block until Bh*block ~ 2^16 so each visit carries a
-        # full-size workload. Measured: gray S_8 (Bh=4) 10.5G at
-        # blk=16384 vs 7.7G at blk=4096 (and 9.1G for the XLA engine).
-        # Only in auto mode — an explicit `block` is respected so tests
-        # and callers can pin the inter-block decomposition.
+        # grow the block until Bh*block hits the fusion-regime target
+        # (2^17 for BDF2 at K=4, 2^16 for BE/CN at K<=16) so each visit
+        # carries a full-size workload. Measured: gray S_8 (Bh=4) 13.1G
+        # at blk=32768/K=4 vs 7.7G at blk=4096 (and 9.1G for the XLA
+        # engine). Only in auto mode — an explicit `block` is respected
+        # so tests and callers can pin the inter-block decomposition.
         if auto_block:
-            while (self.Bh * self.block * 2 <= (1 << 16)
+            target = (1 << 17) if cfg.ts_method == 3 else (1 << 16)
+            while (self.Bh * self.block * 2 <= target
                    and self.block < cfg.N
                    and cfg.N % (self.block * 2) == 0):
                 self.block *= 2
@@ -1000,21 +1007,25 @@ class PallasEngine:
         )
 
     def max_steps_per_launch(self) -> int:
-        """Largest K the fused multi-step kernel compiles with. Round-1's
-        tight limits (K=8 only at Bh <= 16; K=2 at Bh=64) were artifacts
-        of Mosaic's default 16 MiB scoped-VMEM budget; with the raised
-        _VMEM_LIMIT, K=8 BDF2 compiles and wins (or ties) at every
-        tested shape: Bh=16/blk=4096, Bh=64/blk=1024 (32.6G), and
-        Bh=256/blk=512 (21.1G). K=16 still fails Mosaic compile (hang)
-        for BDF2. BE/CN keep only 4 planes live: K=16 verified at
-        Bh <= 16 (block 8192: BE 26.4G, CN 22.1G sub-updates/s)."""
+        """Best K for the fused multi-step kernel at this block shape.
+        Round-1's tight limits (K=8 only at Bh <= 16; K=2 at Bh=64) were
+        artifacts of Mosaic's default 16 MiB scoped-VMEM budget; with
+        the raised _VMEM_LIMIT the K-vs-block tradeoff is a measured
+        frontier (same-session sweeps, docs/PERFORMANCE.md): BDF2 wins
+        at Bh*block = 2^17 with K=4 (headline 55.4G vs 54.0G at
+        2^16/K=8), falls back to K=8 in the 2^16 regime (small N), and
+        K=16 still fails Mosaic compile (hang). BE/CN keep only 4
+        planes live: K=16 verified at Bh <= 16 (block 8192: BE 26.4G,
+        CN 22.1G sub-updates/s)."""
         p = self.Bh * self.block
         if self.cfg.ts_method in (1, 2):
             if self.Bh <= 16:
                 return 16  # verified at Bh=16, block=8192
             return 8
-        if p <= (1 << 17):
+        if p <= (1 << 16):
             return 8
+        if p <= (1 << 17):
+            return 4
         return 1
 
     def multi_step(self, st: fs.FlatState, K: int) -> fs.FlatState:

@@ -125,9 +125,9 @@ class HaloPallasEngine:
         while (blk * 2 <= min(block, self.N_loc)
                and self.N_loc % (blk * 2) == 0):
             blk *= 2
-        while self.rows * blk > (1 << 17) and blk > 128:
+        while auto_block and self.rows * blk > (1 << 17) and blk > 128:
             blk //= 2
-        if cfg.ts_method == 3:
+        if auto_block and cfg.ts_method == 3:
             # K=8 BDF2 fusion prefers rows*blk <= 2^16 (measured,
             # ops/pallas_sweep.max_steps_per_launch).
             while self.rows * blk > (1 << 16) and blk > 512:
