@@ -190,3 +190,23 @@ def test_scan_npass_llnl_keeps_more_passes():
     full_l = len(pallas_sweep._scan_strides(el.block))
     assert max(el.scan_npass.values()) == full_l
     assert max(eg.scan_npass.values()) < full_l
+
+
+def test_block_autotune_and_pinning():
+    """Auto mode targets the measured-best BDF2 fusion regime
+    (Bh*block = 2^17 with K=4 steps/launch, docs/PERFORMANCE.md); an
+    explicit block= is pinned verbatim so callers and tests control the
+    inter-block decomposition."""
+    from conftest import reference_deck
+
+    cfg = load_config(reference_deck("single_group.prm"),
+                      M=32, N=1 << 14, X=1.0, max_timesteps=2)  # Bh=16
+    tables, _, _ = transport.build_tables(cfg)
+
+    auto = pallas_sweep.PallasEngine(cfg, tables)
+    assert auto.Bh * auto.block == 1 << 17
+    assert auto.max_steps_per_launch() == 4
+
+    pinned = pallas_sweep.PallasEngine(cfg, tables, block=2048)
+    assert pinned.block == 2048
+    assert pinned.max_steps_per_launch() == 8  # 2^15 is the 2^16 regime
