@@ -158,6 +158,11 @@ def main(argv=None) -> int:
                          "boundaries legitimately reach ~0)")
     ap.add_argument("--trace", default=None, metavar="LOGDIR",
                     help="write a jax.profiler device trace to LOGDIR")
+    ap.add_argument("--metrics-json", default=None, metavar="FILE",
+                    help="write one JSON object of run metrics (wall "
+                         "time, steps, updates/s, balance, engine/mesh/"
+                         "dtype) to FILE — machine-readable counterpart "
+                         "of the console diagnostics")
     ap.add_argument("--balance-every", type=int, default=None, metavar="K",
                     help="run in K-step chunks, printing the per-group "
                          "balance diagnostic and step metrics after each "
@@ -235,6 +240,27 @@ def main(argv=None) -> int:
     x = (np.arange(cfg.N) + 0.5) * cfg.dx
     paths = io_mod.write_solution_csvs(args.outdir, result, x, e_ave)
     print(f"wrote {len(paths)} CSVs to {os.path.abspath(args.outdir)}")
+
+    if args.metrics_json:
+        import json
+
+        ups = updates_per_step(cfg) * steps_run
+        with open(args.metrics_json, "w") as f:
+            json.dump({
+                "deck": args.deck,
+                "engine": args.engine,
+                "mesh": args.mesh,
+                "dtype": args.dtype,
+                "steps_run": steps_run,
+                "wall_s": wall,
+                "updates_per_s": ups / wall if wall > 0 else None,
+                "balance_max": float(bal.max()),
+                "balance_mean": float(bal.mean()),
+                "outputs": {n: os.path.abspath(p)
+                            for n, p in paths.items()},
+            }, f, indent=1)
+            f.write("\n")
+        print(f"wrote metrics to {args.metrics_json}")
     return 0
 
 

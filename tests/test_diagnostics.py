@@ -102,3 +102,25 @@ class TestProfiling:
         out, secs = profiling.measure_solve(run, state, repeats=1)
         assert secs > 0
         assert out.ends.shape == state.ends.shape
+
+
+def test_cli_metrics_json(tmp_path):
+    """--metrics-json writes one machine-readable object mirroring the
+    console diagnostics (wall time, steps, updates/s, balance, outputs)."""
+    import json
+    import os
+
+    from conftest import reference_deck
+    from radiative_transfer_tpu import cli
+
+    out = str(tmp_path / "o")
+    mpath = str(tmp_path / "metrics.json")
+    assert cli.main([reference_deck("single_group.prm"), "--steps", "3",
+                     "--outdir", out, "--metrics-json", mpath]) == 0
+    with open(mpath) as f:
+        m = json.load(f)
+    assert m["steps_run"] == 3 and m["wall_s"] > 0
+    assert m["updates_per_s"] > 0
+    assert m["balance_max"] >= m["balance_mean"] >= 0
+    assert os.path.exists(m["outputs"]["phi"])
+    assert len(m["outputs"]) == 8
