@@ -326,8 +326,29 @@ def solve_sharded(
     mesh: Mesh,
     num_steps: Optional[int] = None,
 ) -> transport.State:
-    """Place `state` on the mesh and run the sharded solve."""
+    """Place `state` on the mesh and run the sharded solve.
+
+    The jitted program is cached per (cfg, tables-id, mesh, n) like
+    transport.solve's cache: chunked callers (the checkpoint layer calls
+    this once per chunk with identical arguments) must not re-trace the
+    shard_map program every chunk. Bounded LRU; entries hold a strong
+    reference to their tables so the id key cannot be reused by a
+    different live object.
+    """
     sh = state_shardings(mesh)
     state = jax.tree_util.tree_map(jax.device_put, state, sh)
-    solve = make_sharded_solve(cfg, tables, mesh, num_steps)
+    key = (cfg, id(tables), mesh, num_steps)
+    hit = _SOLVE_CACHE.get(key)
+    if hit is None:
+        solve = make_sharded_solve(cfg, tables, mesh, num_steps)
+        _SOLVE_CACHE[key] = (solve, tables)
+        while len(_SOLVE_CACHE) > _SOLVE_CACHE_MAX:
+            _SOLVE_CACHE.pop(next(iter(_SOLVE_CACHE)))
+    else:
+        solve = hit[0]
+        _SOLVE_CACHE[key] = _SOLVE_CACHE.pop(key)  # LRU refresh
     return solve(state)
+
+
+_SOLVE_CACHE: dict = {}
+_SOLVE_CACHE_MAX = 16
