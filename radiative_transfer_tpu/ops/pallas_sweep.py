@@ -782,7 +782,10 @@ class PallasEngine:
         # engine). Only in auto mode — an explicit `block` is respected
         # so tests and callers can pin the inter-block decomposition.
         if auto_block:
-            target = (1 << 17) if cfg.ts_method == 3 else (1 << 16)
+            # 2^17 wins for every integrator (same-session, headline
+            # shape: BDF2 56.0 vs 54.0 at K=4, BE 35.8 vs 34.3 and CN
+            # 35.6 vs 33.1 sub-G at K=16).
+            target = 1 << 17
             while (self.Bh * self.block * 2 <= target
                    and self.block < cfg.N
                    and cfg.N % (self.block * 2) == 0):
@@ -1015,13 +1018,15 @@ class PallasEngine:
         at Bh*block = 2^17 with K=4 (headline 55.4G vs 54.0G at
         2^16/K=8), falls back to K=8 in the 2^16 regime (small N), and
         K=16 still fails Mosaic compile (hang). BE/CN keep only 4
-        planes live: K=16 verified at Bh <= 16 (block 8192: BE 26.4G,
-        CN 22.1G sub-updates/s)."""
+        planes live: K=16 wins at Bh <= 16 (block 8192: BE 35.8, CN
+        35.6 sub-G vs 33.6/33.8 at K=8) and loses at Bh=64 (12.9 vs
+        15.5 sub-G), where K=8 stays."""
         p = self.Bh * self.block
         if self.cfg.ts_method in (1, 2):
             if self.Bh <= 16:
-                return 16  # verified at Bh=16, block=8192
-            return 8
+                return 16  # verified at Bh=16, block=8192 (2^17): BE
+                # 35.8 / CN 35.6 sub-G vs 33.6/33.8 at K=8
+            return 8  # K=16 at Bh=64 measures 12.9 vs 15.5 sub-G
         if p <= (1 << 16):
             return 8
         if p <= (1 << 17):
