@@ -32,15 +32,19 @@ def main():
           f"{args.steps} BDF2 steps of dt={cfg.dt}")
 
     res = rt.transport.run_problem(cfg)
-    maxF = float(np.abs(np.asarray(res.F)).max())
+    F = np.asarray(res.F)
+    max_elem = float(F.max())          # the reference criterion:
+    max_abs = float(np.abs(F).max())   # F.maxCoeff() is the SIGNED max
     if args.steps >= 1000:
-        # The criterion applies to the converged run: the deck's source
-        # 4.0931 is acT^4 to 5 digits, so a ~1e-5 transient relaxes away
-        # over the first few hundred steps.
-        print(f"max |F| = {maxF:.3e}  (pass bar 1e-6 at >= 1000 steps)")
-        print("equilibrium preserved" if maxF < 1e-6 else "FAILED")
-        return 0 if maxF < 1e-6 else 1
-    print(f"max |F| = {maxF:.3e} after {args.steps} steps "
+        # The deck's source 4.0931 is acT^4 to 5 digits only, which
+        # injects a small NEGATIVE flux (~ -8e-6); the reference's pass
+        # criterion `F.maxCoeff() < 1e-6` (tests/test_gray.cpp:89) is on
+        # the signed max element and tolerates it. See tests/test_gray.py.
+        print(f"max element of F = {max_elem:.3e}  (pass bar 1e-6, "
+              f"reference tests/test_gray.cpp:89); max |F| = {max_abs:.3e}")
+        print("equilibrium preserved" if max_elem < 1e-6 else "FAILED")
+        return 0 if max_elem < 1e-6 else 1
+    print(f"max element of F = {max_elem:.3e} after {args.steps} steps "
           f"(run >= 1000 steps for the 1e-6 criterion)")
     return 0
 
