@@ -48,6 +48,20 @@ def _mk_cfg(M, G, N, steps, use_correction=False, courant=0.4):
     )
 
 
+def _llnl_cfg_at(N, steps, courant=0.4):
+    """The real LLNL 124-group deck at benchmark resolution, dt from a
+    cell Courant number (the deck's shipped dt=1e-3 is far outside the
+    BDF2 stability envelope at high N — and untruncatable, so the halo
+    engine would reject it; at Courant 0.4 every group truncates)."""
+    from radiative_transfer_tpu import load_config
+
+    deck = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "prm", "llnl_slab_test.prm")
+    cfg0 = load_config(deck)
+    return load_config(deck, N=N, max_timesteps=steps,
+                       dt=courant * (cfg0.X / N) / _C_LIGHT)
+
+
 def _time_best(run, state, repeats=3):
     import jax
 
@@ -192,23 +206,17 @@ def main():
         ("mg128_s4", 4, 128, (1 << 13) // scale, 32, False, 1e-10),
         # The real LLNL 124-group deck (file-tabulated bounds + kappa_a
         # spanning 8 decades, correction on) at benchmark resolution —
-        # the BASELINE.md multi-host multigroup config. Optically-thin
-        # groups keep the full scan (and reject the halo engine), so
-        # this row exercises the untruncated path.
+        # the BASELINE.md multi-host multigroup config. At the Courant-0.4
+        # benchmark dt even the thinnest group's carry multiplier is
+        # ~0.02, so the scan truncates to 3 passes and the halo engine's
+        # creep bound ACCEPTS (it only rejects at the deck's shipped
+        # dt=1e-3, tests/test_halo_pallas.py). The [full-scan] control
+        # pins scan_tol=0 to time the untruncated path.
         ("llnl_124g", None, None, (1 << 12) // scale, 16, None, 1e-10),
+        ("llnl_124g[full-scan]", None, None, (1 << 12) // scale, 16, None,
+         0.0),
     ]
     engines = args.engines.split(",")
-
-    def _llnl_cfg(N, steps):
-        from radiative_transfer_tpu import load_config
-
-        deck = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "prm", "llnl_slab_test.prm")
-        cfg0 = load_config(deck)
-        # dt from cell Courant 0.4 (the deck's dt=1e-3 is far outside
-        # the BDF2 stability envelope at benchmark resolution).
-        return load_config(deck, N=N, max_timesteps=steps,
-                           dt=0.4 * (cfg0.X / N) / _C_LIGHT)
 
     rows = []
     for name, M, G, N, steps, corr, tol in cases:
@@ -217,13 +225,14 @@ def main():
                 continue  # interpreter too slow for big cases
             if "full-scan" in name and "pallas" not in engine:
                 continue  # the control row only varies the pallas scan
-            if name == "llnl_124g" and engine == "halo-pallas":
-                continue  # rejected by the halo creep bound by design
+            if "full-scan" in name and engine == "halo-pallas":
+                continue  # scan_tol=0 fails the creep bound by design
             dtypes = (["float32"] if "pallas" in engine
                       else ["float32", "float64"])
             for dt in dtypes:
                 try:
-                    cfg_case = (_llnl_cfg(N, steps) if name == "llnl_124g"
+                    cfg_case = (_llnl_cfg_at(N, steps)
+                                if name.startswith("llnl_124g")
                                 else _mk_cfg(M, G, N, steps, corr))
                     ups = run_case(engine, cfg_case,
                                    dt, args.mesh, scan_tol=tol)

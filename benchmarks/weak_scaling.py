@@ -47,6 +47,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cells-per-shard", type=int, default=None)
     ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--workload", default="gray", choices=("gray", "llnl"),
+                    help="gray: S_32 single-group headline; llnl: the "
+                         "real 124-group LLNL deck at the Courant-0.4 "
+                         "benchmark dt (BASELINE.md's multi-host "
+                         "multigroup halo-exchange config)")
     ap.add_argument("--engine", default="halo-pallas",
                     choices=("halo-pallas", "sharded-pallas",
                              "sharded-fast"))
@@ -78,14 +83,23 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     n_dev = len(jax.devices())
-    cells = args.cells_per_shard or ((1 << 20) if on_tpu else (1 << 10))
-    M, G = 32, 1
+    if args.workload == "llnl":
+        from suite import _llnl_cfg_at  # Courant-0.4 dt, real deck
+
+        cells = args.cells_per_shard or ((1 << 13) if on_tpu else (1 << 10))
+        M, G = 2, 124
+    else:
+        cells = args.cells_per_shard or ((1 << 20) if on_tpu else (1 << 10))
+        M, G = 32, 1
 
     rows = []
     base_rate = None
     K = 1
     while K <= n_dev:
-        cfg = _mk_cfg(M, G, cells * K, args.steps)
+        if args.workload == "llnl":
+            cfg = _llnl_cfg_at(cells * K, args.steps)
+        else:
+            cfg = _mk_cfg(M, G, cells * K, args.steps)
         tables, _, _ = transport.build_tables(cfg, dtype=jnp.float32)
         mesh = Mesh(np.asarray(jax.devices()[:K]), ("x",))
         if args.engine == "halo-pallas":

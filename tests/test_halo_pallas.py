@@ -137,6 +137,23 @@ def test_untruncated_regime_raises(mesh8):
         halo_pallas.HaloPallasEngine(cfg, tables, mesh8, block=8)
 
 
+def test_llnl_benchmark_dt_accepted(mesh8):
+    """The real LLNL 124-group deck at the benchmark (Courant-0.4) dt:
+    even the thinnest group's carry multiplier is ~0.02, so the scan
+    truncates to ~3 passes and the creep bound ADMITS the workload — the
+    halo engine must run it and match the single-chip kernel. This is
+    BASELINE.md's north-star "spatially-decomposed multi-host LLNL
+    multigroup run with overlapped halo exchange"; only the deck's
+    shipped dt=1e-3 is untruncatable (test_untruncated_regime_raises)."""
+    C = 299.79245800  # Constants.h:13
+    N = 2048
+    cfg0 = load_config(reference_deck("llnl_slab_test.prm"))
+    cfg = load_config(reference_deck("llnl_slab_test.prm"), N=N,
+                      max_timesteps=2, dt=0.4 * (cfg0.X / N) / C)
+    heng = _compare(cfg, mesh8, 2, block=128)
+    assert max(heng.scan_npass.values()) <= 4
+
+
 def test_halo_exceeds_shard_raises(mesh8):
     """Feasible truncation but N_loc too small for even a 1-step halo."""
     cfg = _gray(N=256, X=2.56)  # N_loc=32 < 4*reach=64
