@@ -186,9 +186,23 @@ def main():
     ap.add_argument("--mesh", default="1x1", metavar="GxX",
                     help="device mesh for the sharded-* engines "
                          "(1x1 bounds the shard_map overhead on one chip)")
+    ap.add_argument("--virtual", action="store_true",
+                    help="force an 8-device CPU host mesh (overhead "
+                         "trends only, not TPU rates; needed because the "
+                         "axon site hook overrides JAX_PLATFORMS=cpu)")
     args = ap.parse_args()
 
+    if args.virtual:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+
     import jax
+
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
 
     platform = jax.devices()[0].platform
     on_tpu = platform != "cpu"
