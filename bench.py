@@ -36,7 +36,7 @@ import time
 import numpy as np
 
 
-def tpu_updates_per_s(M=32, G=1, N=1 << 20, steps=64, dtype="float32"):
+def tpu_updates_per_s(M=32, G=1, N=1 << 20, steps=512, dtype="float32"):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -84,7 +84,16 @@ def tpu_updates_per_s(M=32, G=1, N=1 << 20, steps=64, dtype="float32"):
         def run(s):
             return lax.fori_loop(0, steps, lambda _, x: eng.step(x), s)
 
-    out = jax.block_until_ready(run(state))  # compile + warm-up
+    # Timing protocol (benchmarks/timing.py): compile + warm-up, then ONE
+    # tiny scalar D2H to drain the queue — on the axon tunnel, a process
+    # that never performed a D2H read has fire-and-forget dispatch where
+    # block_until_ready does NOT wait (measured: a 16-step and a
+    # 1600-step solve both "complete" in ~0.15 ms), so timings before the
+    # first D2H are garbage. The D2H flips the process into synchronous
+    # mode whose fixed ~24 ms/dispatch round-trip is INCLUDED in the
+    # timing and amortised by the steps count (~0.5-1 s per run).
+    out = run(state)                         # compile + warm-up
+    float(jnp.ravel(out.e0)[0])              # drain; sync mode from here
     best = float("inf")
     for _ in range(4):  # device/tunnel timing is noisy; take the best run
         t0 = time.perf_counter()

@@ -51,7 +51,17 @@ _C = constants.SPEED_OF_LIGHT
 
 
 class Tables(NamedTuple):
-    """Frozen per-problem device constants (a pytree of jnp arrays)."""
+    """Frozen per-problem constants.
+
+    HOST-side numpy arrays by design: every leaf is tiny ((M,) / (G,)
+    shaped), consumed inside jitted step functions where it embeds as an
+    HLO literal. Keeping them off the device matters beyond hygiene —
+    converting them back with np.asarray (or letting jit lower a captured
+    device array, which fetches it) performs a device->host read, and on
+    the axon-tunnelled TPU backend a single D2H read permanently degrades
+    EVERY subsequent dispatch by ~25 ms (measured; see
+    docs/PERFORMANCE.md "dispatch latency"). Rule: setup computes on the
+    host, only sweep-state planes live on the device."""
 
     mu: jnp.ndarray           # (M,) ascending, negative first
     wt: jnp.ndarray           # (M,) sum = 4*pi
@@ -106,7 +116,7 @@ def build_tables(cfg: Config, dtype=jnp.float64) -> Tuple[Tables, GroupGrid, cor
     else:
         psi_source = cfg.psi_source_array()
 
-    as_dt = lambda x: jnp.asarray(x, dtype=dtype)
+    as_dt = lambda x: np.asarray(x, dtype=np.dtype(dtype))  # noqa: E731
     tables = Tables(
         mu=as_dt(mu),
         wt=as_dt(wt),

@@ -169,8 +169,12 @@ def build_kind_coeffs(
         c0 = np.zeros((cfg.M, G))
 
     def plane(x):
-        return jnp.asarray(
-            _to_plane(x, Mh, G)[None, :, :, None], dtype=dtype
+        # Host numpy, not device: these (1, 2, Bh, 1) constants are closed
+        # over by jitted step functions — a captured device array would be
+        # fetched (D2H) at lowering, which poisons the axon tunnel's
+        # dispatch latency (see models/transport.Tables docstring).
+        return np.asarray(
+            _to_plane(x, Mh, G)[None, :, :, None], dtype=np.dtype(dtype)
         )
 
     return KindCoeffs(
@@ -206,21 +210,23 @@ class FastEngine:
         Mh, G = cfg.M // 2, cfg.G
         self.Bh = Mh * G
 
+        # Host numpy constants (embedded as HLO literals when jitted step
+        # functions close over them) — see models/transport.Tables.
         psi_source = np.asarray(tables.psi_source, dtype=np.float64)
-        self.bc_neg = jnp.asarray(
+        self.bc_neg = np.asarray(
             _to_plane(psi_source, Mh, G)[0]
             if cfg.bc_right_indicator == 1
             else np.zeros(self.Bh),
-            dtype=dtype,
+            dtype=np.dtype(dtype),
         )
         if cfg.bc_left_indicator == 2:
             self.bc_pos_fixed = None
-            self.refl_flip = jnp.asarray(_refl_flip_indices(Mh, G))
+            self.refl_flip = _refl_flip_indices(Mh, G)
         else:
             # vacuum(0) falls through to source in the reference (missing
             # break, solver.cpp:667-671) — replicated; source(1) ditto.
-            self.bc_pos_fixed = jnp.asarray(
-                _to_plane(psi_source, Mh, G)[1], dtype=dtype
+            self.bc_pos_fixed = np.asarray(
+                _to_plane(psi_source, Mh, G)[1], dtype=np.dtype(dtype)
             )
             self.refl_flip = None
 

@@ -58,12 +58,17 @@ _W, _T0, _Q, _IDET, _A, _SB, _C1, _C0, _KEE, _KP = range(10)
 _NCOEF = 10
 
 
-def _pack_coeffs(kc: fs.KindCoeffs) -> jnp.ndarray:
-    """KindCoeffs (1, 2, Bh, 1) planes -> (2, Bh, NCOEF) float32."""
+def _pack_coeffs(kc: fs.KindCoeffs) -> np.ndarray:
+    """KindCoeffs (1, 2, Bh, 1) planes -> (2, Bh, NCOEF) float32.
+
+    Host numpy (the engines close over these in jitted runners; captured
+    device arrays would be fetched at lowering — see
+    models/transport.Tables on the axon D2H dispatch penalty)."""
     cols = [kc.w, kc.T0, kc.q, kc.inv_det, kc.a, kc.Sbase, kc.c1, kc.c0,
             kc.k_ee, kc.k_p]
-    packed = jnp.concatenate([c[0, :, :, :] for c in cols], axis=-1)
-    return packed.astype(jnp.float32)
+    packed = np.concatenate([np.asarray(c)[0, :, :, :] for c in cols],
+                            axis=-1)
+    return packed.astype(np.float32)
 
 
 def _scan_strides(blk: int) -> Tuple[int, ...]:
@@ -815,8 +820,10 @@ class PallasEngine:
             for kind, kc in self._fe.kcs.items()
         }
         self._mask_count = max(1, *self.scan_npass.values())
-        self.scan_masks = jnp.asarray(
-            _scan_masks(self.block)[:self._mask_count])
+        # All engine constants stay host numpy (closed over in jit ->
+        # HLO literals; device captures would D2H at lowering, see
+        # models/transport.Tables).
+        self.scan_masks = _scan_masks(self.block)[:self._mask_count]
         self.reflective = self._fe.bc_pos_fixed is None
         psrc = np.asarray(tables.psi_source, dtype=np.float64)
         bc_neg = np.asarray(self._fe.bc_neg, dtype=np.float32)
@@ -824,14 +831,13 @@ class PallasEngine:
             bc_pos = np.zeros(self.Bh, dtype=np.float32)  # unused
         else:
             bc_pos = np.asarray(self._fe.bc_pos_fixed, dtype=np.float32)
-        self.bc = jnp.asarray(
-            np.stack([bc_neg, bc_pos])[..., None], dtype=jnp.float32
-        )  # (2, Bh, 1)
+        self.bc = np.stack([bc_neg, bc_pos])[..., None].astype(
+            np.float32)  # (2, Bh, 1)
 
         flip = fs._refl_flip_indices(Mh, G)
         P = np.zeros((self.Bh, self.Bh), dtype=np.float32)
         P[np.arange(self.Bh), flip] = 1.0
-        self.refl_P = jnp.asarray(P)
+        self.refl_P = P
 
         self.coef = {
             kind: _pack_coeffs(kc) for kind, kc in self._fe.kcs.items()

@@ -170,8 +170,9 @@ class HaloPallasEngine:
             for kind, kc in self._fe.kcs.items()
         }
         self._mask_count = max(1, *self.scan_npass.values())
-        self.scan_masks = jnp.asarray(
-            ps._scan_masks(blk)[:self._mask_count])
+        # Host numpy (see models/transport.Tables on why constants must
+        # not be captured device arrays).
+        self.scan_masks = ps._scan_masks(blk)[:self._mask_count]
 
         # -- halo regime: creep bound (module doc) -------------------------
         npass_max = max(self.scan_npass.values())
@@ -207,7 +208,7 @@ class HaloPallasEngine:
             "bc_pos": (
                 self._fe.bc_pos_fixed
                 if self._fe.bc_pos_fixed is not None
-                else jnp.zeros_like(self._fe.bc_neg)
+                else np.zeros_like(self._fe.bc_neg)
             ),
         }
         for kind, kc in self._fe.kcs.items():

@@ -121,7 +121,7 @@ class ShardedFastEngine:
             "bc_pos": (
                 eng.bc_pos_fixed
                 if eng.bc_pos_fixed is not None
-                else jnp.zeros_like(eng.bc_neg)
+                else np.zeros_like(eng.bc_neg)
             ),
         }
         self._tb_specs = {

@@ -105,7 +105,7 @@ def _pack_cc(d0: np.ndarray, a: np.ndarray) -> jnp.ndarray:
     means a^1 is already ~0 relative to anything representable)."""
     with np.errstate(divide="ignore"):
         ln_a = np.maximum(np.log(a), -80.0)
-    return jnp.asarray(np.stack([d0, a, ln_a], axis=-1), dtype=jnp.float32)
+    return np.stack([d0, a, ln_a], axis=-1).astype(np.float32)
 
 
 class ShardedPallasEngine:
@@ -192,14 +192,15 @@ class ShardedPallasEngine:
             for kind, kc in self._fe.kcs.items()
         }
         self._mask_count = max(1, *self.scan_npass.values())
-        self.scan_masks = jnp.asarray(
-            ps._scan_masks(self.block)[:self._mask_count])
+        # Host numpy constants (see models/transport.Tables on the axon
+        # D2H dispatch penalty for captured device arrays).
+        self.scan_masks = ps._scan_masks(self.block)[:self._mask_count]
         tb = {
             "bc_neg": self._fe.bc_neg,
             "bc_pos": (
                 self._fe.bc_pos_fixed
                 if self._fe.bc_pos_fixed is not None
-                else jnp.zeros_like(self._fe.bc_neg)
+                else np.zeros_like(self._fe.bc_neg)
             ),
         }
         cc64 = {}
@@ -209,7 +210,7 @@ class ShardedPallasEngine:
             tb[f"k{kind}"] = {
                 "coef": ps._pack_coeffs(kc),                   # (2, Bh, 10)
                 "cc": _pack_cc(d0, a),                         # (2, Bh, 3)
-                "A": jnp.asarray(a ** self.N_loc, jnp.float32),  # (2, Bh)
+                "A": (a ** self.N_loc).astype(np.float32),  # (2, Bh)
             }
         if cfg.ts_method == 3:
             # Half-snapshot slot: mu<0 rows CN-produced, mu>0 rows
@@ -218,9 +219,9 @@ class ShardedPallasEngine:
             if cfg.bdf2_symmetric_half:
                 tb["cc_h"], tb["A_h"] = tb["k2"]["cc"], tb["k2"]["A"]
             else:
-                tb["cc_h"] = jnp.concatenate(
+                tb["cc_h"] = np.concatenate(
                     [tb["k2"]["cc"][:1], tb["k1"]["cc"][1:]], axis=0)
-                tb["A_h"] = jnp.concatenate(
+                tb["A_h"] = np.concatenate(
                     [tb["k2"]["A"][:1], tb["k1"]["A"][1:]], axis=0)
         self._tb = tb
 
