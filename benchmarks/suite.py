@@ -8,7 +8,7 @@ engine, and both precisions. Prints one JSON line per case plus a summary
 table.
 
 Usage:
-    python benchmarks/suite.py [--quick] [--engines pallas,fast,general]
+    python benchmarks/suite.py [--quick] [--engines auto,pallas,fast,general]
 """
 
 from __future__ import annotations
@@ -21,8 +21,10 @@ import time
 
 import numpy as np
 
-# Allow `python benchmarks/suite.py` from anywhere.
+# Allow `python benchmarks/suite.py` from anywhere (repo root for the
+# package, this directory for the shared timing helper).
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 _C_LIGHT = 299.79245800  # cm/sh (Constants.h)
@@ -63,15 +65,13 @@ def _llnl_cfg_at(N, steps, courant=0.4):
 
 
 def _time_best(run, state, repeats=3):
-    import jax
+    # Honest tunnel protocol (benchmarks/timing.py): drain one scalar
+    # D2H after warm-up so block_until_ready is real; the fixed ~30 ms
+    # sync cost per dispatch is included and amortised by the per-case
+    # step counts.
+    from timing import time_best
 
-    out = jax.block_until_ready(run(state))  # compile + warm-up
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(run(out))
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return time_best(run, state, repeats)[0]
 
 
 def _mk_mesh(mesh_str):
@@ -99,7 +99,20 @@ def run_case(engine, cfg, dtype_name, mesh_str="1x1", scan_tol=1e-10):
     steps = cfg.max_timesteps
     tables, _, _ = transport.build_tables(cfg, dtype=dtype)
 
-    if engine == "sharded-pallas":
+    if engine == "auto":
+        # The selection entry point (parallel.make_multichip_engine /
+        # cli --engine auto): must be >= every sibling row.
+        from radiative_transfer_tpu import parallel
+
+        mesh = None if mesh_str == "1x1" else _mk_mesh(mesh_str)
+        eng = parallel.make_multichip_engine(cfg, tables, mesh,
+                                             scan_tol=scan_tol)
+        state = eng.init_state()
+
+        def run(s):
+            return eng.solve(s, num_steps=steps)
+
+    elif engine == "sharded-pallas":
         # Multi-chip Pallas path; at --mesh 1x1 this bounds the shard_map
         # + deferred-correction overhead vs the plain pallas engine.
         from radiative_transfer_tpu.parallel.sharded_pallas import (
@@ -181,7 +194,7 @@ def run_case(engine, cfg, dtype_name, mesh_str="1x1", scan_tol=1e-10):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--engines", default="pallas,fast")
+    ap.add_argument("--engines", default="auto,pallas,fast")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--mesh", default="1x1", metavar="GxX",
                     help="device mesh for the sharded-* engines "
@@ -235,25 +248,29 @@ def main():
     rows = []
     for name, M, G, N, steps, corr, tol in cases:
         for engine in engines:
-            if ("pallas" in engine) and not on_tpu and N > (1 << 14):
+            fam = "pallas" in engine or engine == "auto"
+            if fam and not on_tpu and N > (1 << 14):
                 continue  # interpreter too slow for big cases
             if "full-scan" in name and "pallas" not in engine:
                 continue  # the control row only varies the pallas scan
             if "full-scan" in name and engine == "halo-pallas":
                 continue  # scan_tol=0 fails the creep bound by design
-            dtypes = (["float32"] if "pallas" in engine
-                      else ["float32", "float64"])
+            dtypes = ["float32"] if fam else ["float32", "float64"]
+            # Pallas-family rows are fast enough to amortise the tunnel's
+            # fixed ~30 ms sync cost with longer runs (timing.py); the
+            # slower engines keep the base counts (overhead < 2% there).
+            steps_eff = steps * (8 if fam and on_tpu else 1)
             for dt in dtypes:
                 try:
-                    cfg_case = (_llnl_cfg_at(N, steps)
+                    cfg_case = (_llnl_cfg_at(N, steps_eff)
                                 if name.startswith("llnl_124g")
-                                else _mk_cfg(M, G, N, steps, corr))
+                                else _mk_cfg(M, G, N, steps_eff, corr))
                     ups = run_case(engine, cfg_case,
                                    dt, args.mesh, scan_tol=tol)
                     rec = {
                         "case": name, "engine": engine, "dtype": dt,
                         "M": cfg_case.M, "G": cfg_case.G, "N": N,
-                        "steps": steps,
+                        "steps": steps_eff,
                         "platform": platform,
                         "updates_per_s": ups,
                     }
@@ -262,7 +279,7 @@ def main():
                 except Exception as e:  # noqa: BLE001 - report and continue
                     print(json.dumps({
                         "case": name, "engine": engine, "dtype": dt,
-                        "error": f"{type(e).__name__}",
+                        "error": f"{type(e).__name__}: {e}"[:300],
                     }), flush=True)
 
     print("\ncase                        engine   dtype    G updates/s",

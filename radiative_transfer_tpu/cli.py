@@ -130,9 +130,12 @@ def main(argv=None) -> int:
                          "fused XLA engine; pallas: single-pass TPU kernel "
                          "(float32, interpreted off-TPU); halo: multi-chip "
                          "fused K-step kernel via halo-overlap decomposition "
-                         "(float32, needs the truncated-scan regime); auto: "
-                         "halo when feasible else the sharded pallas engine. "
-                         "halo/auto imply --mesh 1x1 when no mesh is given")
+                         "(float32, needs the truncated-scan regime; implies "
+                         "--mesh 1x1 when no mesh is given); auto: fastest "
+                         "engine for the topology — plain pallas (f32) or "
+                         "fast (f64) on a single chip / mesh 1x1, halo when "
+                         "feasible else the sharded pallas engine on real "
+                         "meshes")
     ap.add_argument("--dtype", choices=("float64", "float32"), default="float64")
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--checkpoint-dir", default=None,
@@ -282,8 +285,15 @@ def _run(args, cfg, dtype):
     from .utils import io as io_mod  # noqa: F401  (kept for parity of imports)
 
     check_fn = _make_check_fn(args)
-    if args.engine in ("halo", "auto") and not args.mesh:
-        args.mesh = "1x1"   # these engines are inherently mesh-based
+    if args.engine == "halo" and not args.mesh:
+        args.mesh = "1x1"   # the halo engine is inherently mesh-based
+    if args.engine == "auto" and not args.mesh:
+        # Never lose to a sibling: on a single chip the plain engines beat
+        # the mesh engines (whose collective machinery costs ~19% even at
+        # mesh 1x1, docs/PERFORMANCE.md) — pallas for f32, the tiled XLA
+        # engine for f64 parity runs.
+        args.engine = "pallas" if args.dtype == "float32" else "fast"
+        print(f"auto engine: {args.engine} (single chip)")
     if args.mesh:
         return _run_sharded(args, cfg, dtype)
     if args.engine in ("fast", "pallas"):

@@ -5,19 +5,45 @@ per-substep exchange (sharded_pallas), and fused-kernel halo overlap
 from . import distributed, sharded, sharded_fast  # noqa: F401
 
 
+def _filter_kwargs(ctor, kw):
+    """Keep only kwargs `ctor` accepts (selection crosses engines whose
+    signatures differ, e.g. steps_per_launch is halo-only)."""
+    import inspect
+
+    accepted = inspect.signature(ctor).parameters
+    return {k: v for k, v in kw.items() if k in accepted}
+
+
 def make_multichip_engine(cfg, tables, mesh, engine: str = "auto", **kw):
-    """Best multi-chip engine for (cfg, mesh): the halo-overlap engine
-    (fused K-step kernel per shard) when its truncated-scan creep bound
-    admits the workload, else the per-substep-exchange sharded Pallas
-    engine. Pass engine='halo'/'pallas' to pin (halo then raises
-    ValueError with guidance if infeasible). Both are float32;
-    engine='fast' selects the XLA engine (f64-capable, dtype=... kwarg).
+    """Best engine for (cfg, mesh) — must never lose to a sibling:
+
+    * mesh of ONE device (or mesh=None): the plain single-chip
+      PallasEngine. At mesh 1x1 the collectives degenerate to
+      self-copies but their machinery still costs ~19% (measured,
+      docs/PERFORMANCE.md mesh-1x1 table: halo 45.3G vs plain 56.0G at
+      the headline shape), so 'auto' uses the mesh engines only when
+      there is actually more than one shard.
+    * multi-device mesh: the halo-overlap engine (fused K-step kernel
+      per shard, one exchange per K steps) when its truncated-scan creep
+      bound admits the workload, else the per-substep-exchange sharded
+      Pallas engine.
+
+    Pass engine='halo'/'pallas' to pin a mesh engine (halo raises
+    ValueError with guidance if infeasible); engine='single' pins the
+    plain PallasEngine. Those are float32; engine='fast' selects the
+    XLA engine (f64-capable, dtype=... kwarg).
 
     Returns the constructed engine; all engines expose
     init_state/solve/ends/from_ends with identical semantics.
     """
+    from ..ops import pallas_sweep
+
+    n_dev = 1 if mesh is None else mesh.size
     if engine == "fast":
         return sharded_fast.ShardedFastEngine(cfg, tables, mesh, **kw)
+    if engine == "single" or (engine == "auto" and n_dev == 1):
+        kw = _filter_kwargs(pallas_sweep.PallasEngine.__init__, kw)
+        return pallas_sweep.PallasEngine(cfg, tables, **kw)
     from . import halo_pallas, sharded_pallas
 
     if engine == "halo":
@@ -31,9 +57,5 @@ def make_multichip_engine(cfg, tables, mesh, engine: str = "auto", **kw):
     except ValueError:
         # Drop halo-only kwargs (e.g. steps_per_launch) so the fallback
         # constructor does not die on an unexpected keyword.
-        import inspect
-
-        accepted = inspect.signature(
-            sharded_pallas.ShardedPallasEngine.__init__).parameters
-        kw = {k: v for k, v in kw.items() if k in accepted}
+        kw = _filter_kwargs(sharded_pallas.ShardedPallasEngine.__init__, kw)
         return sharded_pallas.ShardedPallasEngine(cfg, tables, mesh, **kw)

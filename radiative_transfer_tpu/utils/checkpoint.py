@@ -51,24 +51,62 @@ def checkpoint_path(ckpt_dir: str, step: int) -> str:
     return os.path.join(ckpt_dir, f"ckpt_{step:09d}.npz")
 
 
+def _host_array(x) -> np.ndarray:
+    """Bring a state leaf to the host as a full global array.
+
+    Multi-host meshes produce jax.Arrays that are NOT fully addressable
+    from any one process — np.asarray on those raises. Gather them with
+    process_allgather (every process ends up holding the full array, so
+    the caller's process-0-writes logic and any check_fn see identical
+    data on every process)."""
+    if isinstance(x, np.ndarray):
+        return x
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def _barrier(tag: str) -> None:
+    """Cross-process sync (no-op single-process): a checkpoint write must
+    complete before any process can race ahead (or exit, tearing down the
+    coordinator under the writer)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 def save_checkpoint(ckpt_dir: str, state: State, step: int, cfg: Config) -> str:
-    """Write the state at full-step `step`. Atomic (write + rename)."""
-    os.makedirs(ckpt_dir, exist_ok=True)
+    """Write the state at full-step `step`. Atomic (write + rename).
+
+    Multi-host safe: state leaves are gathered to every host
+    (_host_array), but only process 0 touches the filesystem — a shared
+    checkpoint directory must not see concurrent writers — and a barrier
+    holds every process until the file is in place."""
     path = checkpoint_path(ckpt_dir, step)
-    tmp = path + ".tmp"
-    host = jax.device_get(state)
-    with open(tmp, "wb") as fh:
-        np.savez_compressed(
-            fh,
-            ends=np.asarray(host.ends),
-            prev_ends=np.asarray(host.prev_ends),
-            half_ends=np.asarray(host.half_ends),
-            step=np.int64(step),
-            fingerprint=np.frombuffer(
-                config_fingerprint(cfg).encode(), dtype=np.uint8
-            ),
-        )
-    os.replace(tmp, path)
+    host = State(
+        ends=_host_array(state.ends),
+        prev_ends=_host_array(state.prev_ends),
+        half_ends=_host_array(state.half_ends),
+    )
+    if jax.process_index() == 0:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez_compressed(
+                fh,
+                ends=host.ends,
+                prev_ends=host.prev_ends,
+                half_ends=host.half_ends,
+                step=np.int64(step),
+                fingerprint=np.frombuffer(
+                    config_fingerprint(cfg).encode(), dtype=np.uint8
+                ),
+            )
+        os.replace(tmp, path)
+    _barrier(f"ckpt-{step}")
     return path
 
 
@@ -182,17 +220,22 @@ def solve_with_checkpoints_engine(
     total = cfg.max_timesteps if num_steps is None else num_steps
 
     def global_state(state) -> State:
+        # _host_array handles multi-host meshes (the converted arrays are
+        # not fully addressable from one process there).
         if hasattr(eng, "prev_half_ends"):
             prev, half = eng.prev_half_ends(state)
             return State(
-                ends=np.asarray(eng.ends(state), np.float64),
-                prev_ends=np.asarray(prev, np.float64),
-                half_ends=np.asarray(half, np.float64),
+                ends=_host_array(eng.ends(state)).astype(np.float64),
+                prev_ends=_host_array(prev).astype(np.float64),
+                half_ends=_host_array(half).astype(np.float64),
             )
         return State(
-            ends=np.asarray(eng.ends_pair(state.e0, state.e1), np.float64),
-            prev_ends=np.asarray(eng.ends_pair(state.p0, state.p1), np.float64),
-            half_ends=np.asarray(eng.ends_pair(state.h0, state.h1), np.float64),
+            ends=_host_array(
+                eng.ends_pair(state.e0, state.e1)).astype(np.float64),
+            prev_ends=_host_array(
+                eng.ends_pair(state.p0, state.p1)).astype(np.float64),
+            half_ends=_host_array(
+                eng.ends_pair(state.h0, state.h1)).astype(np.float64),
         )
 
     start = 0

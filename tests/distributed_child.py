@@ -5,6 +5,15 @@ coordinator; runs the production sharded engine on a mesh spanning both
 processes and (process 0) writes the gathered final state to disk.
 
 Run standalone:  python distributed_child.py <pid> <nprocs> <port> <outdir>
+                                            [mode]
+
+mode (argv[5], optional):
+  (absent)  full run: sharded-fast solve + halo-overlap solve (default)
+  ckpt1     first 2 of 5 steps with per-step checkpoints, then exit —
+            simulates a run killed mid-way (multi-host checkpoint write:
+            gather + process-0-only file + barrier)
+  ckpt2     resume from the ckpt1 directory, finish the 5 steps, write
+            ckpt_ends.npy — must equal the uninterrupted run bit-exactly
 """
 
 import os
@@ -69,6 +78,31 @@ def main() -> None:
     eng = sharded_fast.ShardedFastEngine(
         cfg, tables, mesh, dtype=jnp.float64, chunk=8
     )
+
+    mode = sys.argv[5] if len(sys.argv) > 5 else ""
+    if mode in ("ckpt1", "ckpt2"):
+        # Multi-host checkpoint/resume across the REAL process boundary
+        # (utils/checkpoint.py: process_allgather + process-0-only write
+        # + barrier). ckpt1 = the killed run; ckpt2 = the relaunch.
+        from radiative_transfer_tpu.utils import checkpoint as ckpt_mod
+
+        ckdir = os.path.join(outdir, "ck")
+        if mode == "ckpt1":
+            _, resumed = ckpt_mod.solve_with_checkpoints_engine(
+                eng, cfg, ckdir, every=1, num_steps=2)
+            assert resumed == 0, resumed
+            return
+        st, resumed = ckpt_mod.solve_with_checkpoints_engine(
+            eng, cfg, ckdir, every=2)
+        assert resumed == 2, resumed
+        ends = eng.ends(st)
+        local = np.asarray(
+            multihost_utils.process_allgather(ends, tiled=True))
+        if process_id == 0:
+            np.save(os.path.join(outdir, "ckpt_ends.npy"), local)
+        multihost_utils.sync_global_devices("ckpt-done")
+        return
+
     st = eng.solve()
     ends = eng.ends(st)  # global array spanning both processes
     # tiled=True: reassemble the (already-global) sharded array so every

@@ -103,6 +103,46 @@ def test_two_process_sharded_solve_matches_single_process(tmp_path):
     assert np.abs(got_h - want_h).max() / scale < 2e-6
 
 
+def _run_children(tmp_path, mode, port=None):
+    port = port or _free_port()
+    env = _clean_env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, CHILD, str(pid), "2", str(port),
+             str(tmp_path), mode],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, f"child ({mode}) failed:\n{out[-3000:]}"
+
+
+def test_two_process_checkpoint_resume(tmp_path):
+    """Checkpoint mid-run on a 2-process mesh, kill, relaunch, resume:
+    the resumed result must equal the uninterrupted 2-process run
+    bit-exactly (VERDICT r2 #4 — the write is gathered via
+    process_allgather, done by process 0 only, behind a barrier)."""
+    import glob as glob_mod
+
+    # The killed run: 2 of 5 steps, per-step checkpoints.
+    _run_children(tmp_path, "ckpt1")
+    cks = sorted(glob_mod.glob(str(tmp_path / "ck" / "ckpt_*.npz")))
+    assert [os.path.basename(c) for c in cks] == [
+        "ckpt_000000001.npz", "ckpt_000000002.npz"]
+
+    # The relaunch: must resume from step 2 and finish.
+    _run_children(tmp_path, "ckpt2")
+    got = np.load(tmp_path / "ckpt_ends.npy")
+
+    # Uninterrupted oracle: the plain 2-process run's result.
+    _run_children(tmp_path, "")
+    want = np.load(tmp_path / "ends.npy")
+    np.testing.assert_array_equal(got, want)
+
+
 def test_explicit_coordinator_failure_raises(tmp_path):
     """With EXPLICIT coordinator arguments, a failed jax.distributed init
     must raise (fail-fast policy), never silently fall back to
