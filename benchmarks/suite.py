@@ -221,16 +221,19 @@ def main():
     on_tpu = platform != "cpu"
     scale = 1 if not args.quick else 16
 
-    # (name, M, G, N, steps, correction, scan_tol)
+    # (name, M, G, N, steps, correction, scan_tol, fam_mult)
     # The full-scan row pins scan_tol=0 (all prefix-scan passes) to show
-    # the accuracy-bounded truncation win explicitly.
+    # the accuracy-bounded truncation win explicitly. fam_mult scales the
+    # pallas-family step counts so each timed run amortises the tunnel's
+    # fixed ~30 ms sync cost (timing.py) — small shapes need more steps.
     cases = [
-        ("gray_hires_s32", 32, 1, (1 << 20) // scale, 64, False, 1e-10),
+        ("gray_hires_s32", 32, 1, (1 << 20) // scale, 64, False, 1e-10, 8),
         ("gray_hires_s32[full-scan]",
-         32, 1, (1 << 20) // scale, 64, False, 0.0),
-        ("gray_s8", 8, 1, (1 << 18) // scale, 64, False, 1e-10),
-        ("mg16_correction_s8", 8, 16, (1 << 16) // scale, 32, True, 1e-10),
-        ("mg128_s4", 4, 128, (1 << 13) // scale, 32, False, 1e-10),
+         32, 1, (1 << 20) // scale, 64, False, 0.0, 8),
+        ("gray_s8", 8, 1, (1 << 18) // scale, 64, False, 1e-10, 8),
+        ("mg16_correction_s8", 8, 16, (1 << 16) // scale, 32, True, 1e-10,
+         16),
+        ("mg128_s4", 4, 128, (1 << 13) // scale, 32, False, 1e-10, 64),
         # The real LLNL 124-group deck (file-tabulated bounds + kappa_a
         # spanning 8 decades, correction on) at benchmark resolution —
         # the BASELINE.md multi-host multigroup config. At the Courant-0.4
@@ -239,14 +242,15 @@ def main():
         # creep bound ACCEPTS (it only rejects at the deck's shipped
         # dt=1e-3, tests/test_halo_pallas.py). The [full-scan] control
         # pins scan_tol=0 to time the untruncated path.
-        ("llnl_124g", None, None, (1 << 12) // scale, 16, None, 1e-10),
+        ("llnl_124g", None, None, (1 << 12) // scale, 16, None, 1e-10,
+         256),
         ("llnl_124g[full-scan]", None, None, (1 << 12) // scale, 16, None,
-         0.0),
+         0.0, 256),
     ]
     engines = args.engines.split(",")
 
     rows = []
-    for name, M, G, N, steps, corr, tol in cases:
+    for name, M, G, N, steps, corr, tol, fam_mult in cases:
         for engine in engines:
             fam = "pallas" in engine or engine == "auto"
             if fam and not on_tpu and N > (1 << 14):
@@ -259,7 +263,7 @@ def main():
             # Pallas-family rows are fast enough to amortise the tunnel's
             # fixed ~30 ms sync cost with longer runs (timing.py); the
             # slower engines keep the base counts (overhead < 2% there).
-            steps_eff = steps * (8 if fam and on_tpu else 1)
+            steps_eff = steps * (fam_mult if fam and on_tpu else 1)
             for dt in dtypes:
                 try:
                     cfg_case = (_llnl_cfg_at(N, steps_eff)

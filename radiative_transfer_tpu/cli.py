@@ -169,7 +169,8 @@ def main(argv=None) -> int:
     ap.add_argument("--balance-every", type=int, default=None, metavar="K",
                     help="run in K-step chunks, printing the per-group "
                          "balance diagnostic and step metrics after each "
-                         "(general engine)")
+                         "(every engine and mesh mode; incompatible with "
+                         "--checkpoint-dir, whose chunking owns the loop)")
     ap.add_argument("--scan-tol", type=float, default=1e-10,
                     help="pallas engines: accuracy bound for truncating "
                          "prefix-scan passes (neglected upwind tail "
@@ -192,18 +193,33 @@ def main(argv=None) -> int:
     if not os.path.exists(args.deck):
         print(f"deck not found: {args.deck}", file=sys.stderr)
         return 2
+    if args.balance_every and args.checkpoint_dir:
+        ap.error("--balance-every and --checkpoint-dir both chunk the "
+                 "solve loop; pick one")
+
+    # Multi-process wiring must precede any backend touch; doing it here
+    # (not in _run_sharded) also lets every console/file write below gate
+    # on process 0 — a shared --outdir must not see concurrent writers.
+    if args.mesh:
+        from .parallel import distributed
+
+        distributed.initialize()
+    import jax
+
+    is_p0 = jax.process_index() == 0
 
     overrides = {}
     if args.steps is not None:
         overrides["max_timesteps"] = args.steps
     cfg = load_config(args.deck, **overrides)
-    print(f"filename: {args.deck}")
-    _echo_inputs(cfg)
-    _echo_solver_tables(cfg)
+    if is_p0:
+        print(f"filename: {args.deck}")
+        _echo_inputs(cfg)
+        _echo_solver_tables(cfg)
 
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
 
-    if args.print_tables:
+    if args.print_tables and is_p0:
         from .utils import diagnostics
 
         tbls, grid_, ct_ = transport.build_tables(cfg, dtype=jnp.float64)
@@ -230,21 +246,24 @@ def main(argv=None) -> int:
     # Balance diagnostic (printed, not asserted) in the reference's
     # per-group console format (solver.cpp:277-282), plus a summary.
     bal = np.asarray(result.balance)
-    if result.sources is not None:
+    if is_p0 and result.sources is not None:
         srcs = np.asarray(result.sources)
         snks = np.asarray(result.sinks)
         for gi in range(bal.shape[0]):
             print(f"sources: {srcs[gi]:.6g}")
             print(f"sinks: {snks[gi]:.6g}")
             print(f"balance at ({gi}): {bal[gi]:.6g}")
-    print("balance |sinks-sources|/sources per group:")
-    print("  max = %.3e   mean = %.3e" % (bal.max(), bal.mean()))
+    if is_p0:
+        print("balance |sinks-sources|/sources per group:")
+        print("  max = %.3e   mean = %.3e" % (bal.max(), bal.mean()))
 
-    x = (np.arange(cfg.N) + 0.5) * cfg.dx
-    paths = io_mod.write_solution_csvs(args.outdir, result, x, e_ave)
-    print(f"wrote {len(paths)} CSVs to {os.path.abspath(args.outdir)}")
+    paths = {}
+    if is_p0:
+        x = (np.arange(cfg.N) + 0.5) * cfg.dx
+        paths = io_mod.write_solution_csvs(args.outdir, result, x, e_ave)
+        print(f"wrote {len(paths)} CSVs to {os.path.abspath(args.outdir)}")
 
-    if args.metrics_json:
+    if args.metrics_json and is_p0:
         import json
 
         ups = updates_per_step(cfg) * steps_run
@@ -321,6 +340,9 @@ def _run(args, cfg, dtype):
             steps_run = cfg.max_timesteps - resumed
             if resumed:
                 print(f"resumed from step {resumed}")
+        elif args.balance_every:
+            fst = _engine_balance_loop(eng, cfg, args, tables, check_fn)
+            steps_run = cfg.max_timesteps
         else:
             fst = eng.solve()
             steps_run = cfg.max_timesteps
@@ -360,14 +382,50 @@ def _run(args, cfg, dtype):
     return result, e_ave, steps_run
 
 
+def _engine_balance_loop(eng, cfg, args, tables, check_fn):
+    """--balance-every for the engine paths (fast/pallas single-chip and
+    every mesh engine): run in K-step chunks, printing the per-group
+    balance summary and step metrics after each. The general engine's
+    equivalent is _run_with_balance."""
+    import time as time_mod
+
+    import jax
+    import jax.numpy as jnp
+
+    from .models import transport
+    from .parallel.distributed import host_array
+    from .utils.profiling import StepMetrics, updates_per_step
+
+    is_p0 = jax.process_index() == 0
+    state = eng.init_state()
+    metrics = StepMetrics(updates_per_step=updates_per_step(cfg))
+    done, total, every = 0, cfg.max_timesteps, args.balance_every
+    while done < total:
+        n = min(every, total - done)
+        t0 = time_mod.perf_counter()
+        state = eng.solve(state, num_steps=n)
+        ends = jnp.asarray(host_array(eng.ends(state)), jnp.float64)
+        metrics.add(n, time_mod.perf_counter() - t0)
+        done += n
+        if check_fn is not None:
+            check_fn(ends, done)
+        psi = transport.psi_from_ends(ends)
+        phi = transport.compute_phi(psi, jnp.asarray(tables.wt, jnp.float64))
+        bal = np.asarray(transport.compute_balance(cfg, tables, ends, phi))
+        if is_p0:
+            print(f"step {done:>6d}: balance max={bal.max():.3e} "
+                  f"mean={bal.mean():.3e}   [{metrics.summary()}]")
+    return state
+
+
 def _run_sharded(args, cfg, dtype):
-    """Multi-chip solve on a (group, spatial) device mesh (--mesh GxX)."""
+    """Multi-chip solve on a (group, spatial) device mesh (--mesh GxX).
+    jax.distributed is already initialized by main()."""
     import jax
 
     from .models import transport
     from .parallel import distributed, sharded, sharded_fast
 
-    distributed.initialize()
     try:
         ng, nx = (int(v) for v in args.mesh.lower().split("x"))
     except ValueError:
@@ -427,6 +485,8 @@ def _run_sharded(args, cfg, dtype):
             )
             if resumed:
                 print(f"resumed from step {resumed}")
+        elif args.balance_every:
+            fst = _engine_balance_loop(eng, cfg, args, tables, check_fn)
         else:
             fst = eng.solve()
         ends = eng.ends(fst)
@@ -448,13 +508,33 @@ def _run_sharded(args, cfg, dtype):
             )
             if resumed:
                 print(f"resumed from step {resumed}")
+        elif args.balance_every:
+
+            class _GeneralShardedEngine:
+                """Adapter giving the general sharded path the engine
+                protocol _engine_balance_loop expects."""
+
+                def init_state(self):
+                    return state
+
+                def solve(self, s, num_steps=None):
+                    return sharded.solve_sharded(cfg, tables, s, mesh,
+                                                 num_steps=num_steps)
+
+                def ends(self, s):
+                    return s.ends
+
+            state = _engine_balance_loop(_GeneralShardedEngine(), cfg,
+                                         args, tables, check_fn)
         else:
             state = sharded.solve_sharded(cfg, tables, state, mesh)
         ends = state.ends
 
     import jax.numpy as jnp
 
-    ends64 = jnp.asarray(ends, jnp.float64)
+    from .parallel.distributed import host_array
+
+    ends64 = jnp.asarray(host_array(ends), jnp.float64)
     if check_fn is not None:
         check_fn(ends64, cfg.max_timesteps)
     result = transport.result_from_ends(cfg, tables, ends64, state=state)

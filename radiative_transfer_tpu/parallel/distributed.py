@@ -78,6 +78,22 @@ def is_multi_host() -> bool:
     return jax.process_count() > 1
 
 
+def host_array(x):
+    """Bring an array to the host as the FULL global array on every
+    process. Multi-host meshes produce jax.Arrays that are not fully
+    addressable from any one process — np.asarray on those raises;
+    process_allgather reassembles them."""
+    import numpy as np
+
+    if isinstance(x, np.ndarray):
+        return x
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def assert_mesh_spans_hosts(mesh) -> None:
     """Sanity guard for multi-host meshes: every process must contribute
     devices (a mesh silently built from local devices only would solve a

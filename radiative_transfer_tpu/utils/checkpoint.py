@@ -52,20 +52,13 @@ def checkpoint_path(ckpt_dir: str, step: int) -> str:
 
 
 def _host_array(x) -> np.ndarray:
-    """Bring a state leaf to the host as a full global array.
+    """Bring a state leaf to the host as a full global array (gathers
+    non-fully-addressable multi-host arrays; every process ends up with
+    identical data, so the process-0-writes logic and any check_fn see
+    the same state everywhere)."""
+    from ..parallel.distributed import host_array
 
-    Multi-host meshes produce jax.Arrays that are NOT fully addressable
-    from any one process — np.asarray on those raises. Gather them with
-    process_allgather (every process ends up holding the full array, so
-    the caller's process-0-writes logic and any check_fn see identical
-    data on every process)."""
-    if isinstance(x, np.ndarray):
-        return x
-    if getattr(x, "is_fully_addressable", True):
-        return np.asarray(x)
-    from jax.experimental import multihost_utils
-
-    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return host_array(x)
 
 
 def _barrier(tag: str) -> None:
