@@ -306,20 +306,26 @@ def _run(args, cfg, dtype):
     check_fn = _make_check_fn(args)
     if args.engine == "halo" and not args.mesh:
         args.mesh = "1x1"   # the halo engine is inherently mesh-based
-    if args.engine == "auto" and not args.mesh:
-        # Never lose to a sibling: on a single chip the plain engines beat
-        # the mesh engines (whose collective machinery costs ~19% even at
-        # mesh 1x1, docs/PERFORMANCE.md) — pallas for f32, the tiled XLA
-        # engine for f64 parity runs.
-        args.engine = "pallas" if args.dtype == "float32" else "fast"
-        print(f"auto engine: {args.engine} (single chip)")
+    if args.engine == "auto" and not args.mesh and args.dtype != "float32":
+        # f64 parity runs: the tiled XLA engine is the fast f64 path.
+        args.engine = "fast"
+        print("auto engine: fast (single chip, float64)")
     if args.mesh:
         return _run_sharded(args, cfg, dtype)
-    if args.engine in ("fast", "pallas"):
+    if args.engine in ("fast", "pallas", "auto"):
         tables, grid, ct = transport.build_tables(cfg, dtype=jnp.float64)
         if cfg.include_validation:
             assert transport.validate_tables(cfg, ct), "Invalid Correction Terms"
-        if args.engine == "pallas":
+        if args.engine == "auto":
+            # Shape-aware single-chip selection (never lose to a sibling,
+            # docs/PERFORMANCE.md): plain Pallas normally, the packed-rows
+            # kernel at tiny batches (Bh < 8).
+            from . import parallel
+
+            eng = parallel.make_multichip_engine(cfg, tables, None,
+                                                 scan_tol=args.scan_tol)
+            print(f"auto engine: {type(eng).__name__} (single chip)")
+        elif args.engine == "pallas":
             from .ops.pallas_sweep import PallasEngine
 
             if args.dtype != "float32":

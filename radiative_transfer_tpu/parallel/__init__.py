@@ -42,6 +42,28 @@ def make_multichip_engine(cfg, tables, mesh, engine: str = "auto", **kw):
     if engine == "fast":
         return sharded_fast.ShardedFastEngine(cfg, tables, mesh, **kw)
     if engine == "single" or (engine == "auto" and n_dev == 1):
+        if engine == "auto" and (cfg.M // 2) * cfg.G < 8:
+            # Tiny batches (Bh < 8, e.g. S_2..S_8 gray decks) waste
+            # sublanes AND serialise the two direction halves on the
+            # plain engine's grid; the packed-rows halo kernel at a
+            # 1-device mesh runs both halves per visit and measures
+            # 1.66x faster at Bh=4 (49.3 vs 29.7 G, N=2^18 — the
+            # crossover sits between Bh=4 and Bh=8, where the plain
+            # engine wins 70.0 vs 54.5; docs/PERFORMANCE.md).
+            from . import halo_pallas
+
+            m1 = mesh
+            if m1 is None:
+                import jax
+                import numpy as np
+
+                m1 = halo_pallas.Mesh(np.asarray(jax.devices()[:1]), ("x",))
+            try:
+                hkw = _filter_kwargs(
+                    halo_pallas.HaloPallasEngine.__init__, kw)
+                return halo_pallas.HaloPallasEngine(cfg, tables, m1, **hkw)
+            except ValueError:
+                pass  # infeasible (creep bound / odd N): plain engine
         kw = _filter_kwargs(pallas_sweep.PallasEngine.__init__, kw)
         return pallas_sweep.PallasEngine(cfg, tables, **kw)
     from . import halo_pallas, sharded_pallas
