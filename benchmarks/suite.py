@@ -196,6 +196,10 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--engines", default="auto,pallas,fast")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--check-auto", action="store_true",
+                    help="exit nonzero if the auto engine loses to any "
+                         "sibling row by more than tunnel noise (the "
+                         "selection contract, tests/test_engine_auto.py)")
     ap.add_argument("--mesh", default="1x1", metavar="GxX",
                     help="device mesh for the sharded-* engines "
                          "(1x1 bounds the shard_map overhead on one chip)")
@@ -291,6 +295,28 @@ def main():
     for r in rows:
         print(f"{r['case']:<27} {r['engine']:<8} {r['dtype']:<8} "
               f"{r['updates_per_s'] / 1e9:8.2f}", file=sys.stderr)
+
+    if args.check_auto:
+        # The selection contract: auto must never lose to a sibling
+        # engine on any case (within run-to-run tunnel noise).
+        bad = []
+        for case in {r["case"] for r in rows}:
+            case_rows = [r for r in rows if r["case"] == case]
+            autos = [r for r in case_rows if r["engine"] == "auto"]
+            sibs = [r for r in case_rows if r["engine"] != "auto"]
+            if not autos or not sibs:
+                continue
+            best_auto = max(r["updates_per_s"] for r in autos)
+            best_sib = max(r["updates_per_s"] for r in sibs)
+            if best_auto < 0.9 * best_sib:
+                bad.append((case, best_auto / 1e9, best_sib / 1e9))
+        if bad:
+            for case, a, s in bad:
+                print(f"AUTO LOSES on {case}: {a:.2f} vs {s:.2f} G",
+                      file=sys.stderr)
+            sys.exit(1)
+        print("auto >= best sibling on every case (0.9x noise floor)",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

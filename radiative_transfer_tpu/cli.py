@@ -453,10 +453,14 @@ def _run_sharded(args, cfg, dtype):
             from . import parallel
 
             if args.dtype != "float32":
-                print("note: the auto-selected pallas engines are "
-                      "float32-only")
-            eng = parallel.make_multichip_engine(
-                cfg, tables, mesh, scan_tol=args.scan_tol)
+                # f64 parity requested: the XLA engine is the only f64
+                # mesh path — auto must honor the precision, not note
+                # it away.
+                eng = sharded_fast.ShardedFastEngine(cfg, tables, mesh,
+                                                     dtype=dtype)
+            else:
+                eng = parallel.make_multichip_engine(
+                    cfg, tables, mesh, scan_tol=args.scan_tol)
             print(f"auto engine: {type(eng).__name__}")
         elif args.engine == "halo":
             from .parallel.halo_pallas import HaloPallasEngine

@@ -136,6 +136,27 @@ def test_auto_solution_matches_pallas(mesh1):
     np.testing.assert_array_equal(np.asarray(got.e0), np.asarray(ref.e0))
 
 
+def test_cli_auto_mesh_f64_uses_fast_engine(tmp_path):
+    """auto must honor an explicit f64 request on a mesh by selecting the
+    XLA engine (not noting the precision away and running f32)."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from radiative_transfer_tpu import cli
+
+    text = open(reference_deck("single_group.prm")).read()
+    text = text.replace("max_timesteps=1000", "max_timesteps=2")
+    deck = os.path.join(tmp_path, "deck.prm")
+    open(deck, "w").write(text)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main([deck, "--outdir", str(tmp_path), "--engine", "auto",
+                       "--mesh", "1x2", "--dtype", "float64"])
+    assert rc == 0
+    assert "auto engine: ShardedFastEngine" in buf.getvalue()
+
+
 def test_auto_packed_solution_matches_pallas():
     """The packed-rows selection at tiny Bh matches the plain engine to
     kernel roundoff (FMA-grouping level, tests/test_halo_pallas.py)."""

@@ -93,6 +93,26 @@ def test_halo_pallas_engine_compiles(workload):
     assert _relerr(eng.ends(st), ref) < 1e-5
 
 
+def test_auto_packed_selection_compiles_on_chip():
+    """The shape-aware auto selection at tiny Bh (the packed-rows kernel
+    at a 1-device mesh) must Mosaic-compile and match the XLA engine —
+    this is what `--engine auto` actually runs for S_2..S_8 gray decks
+    at production resolutions (parallel/__init__.py)."""
+    from radiative_transfer_tpu import parallel
+    from radiative_transfer_tpu.parallel.halo_pallas import HaloPallasEngine
+
+    cfg = _cfg(M=2, G=1, steps=10)          # Bh = 1
+    tables, _, _ = transport.build_tables(cfg, dtype=jnp.float32)
+    feng = FastEngine(cfg, tables, dtype=jnp.float32)
+    ref = feng.ends(feng.solve(num_steps=cfg.max_timesteps))
+
+    eng = parallel.make_multichip_engine(cfg, tables, None)
+    assert isinstance(eng, HaloPallasEngine) and eng.Kx == 1
+    assert not eng.interpret
+    st = eng.solve(num_steps=cfg.max_timesteps)
+    assert _relerr(eng.ends(st), ref) < 1e-5
+
+
 def test_equilibrium_preserved_on_chip():
     """The GrayTest invariant (tests/test_gray.cpp:89-98) on hardware:
     a gray slab at the equilibrium intensity keeps max|F| small after
