@@ -30,6 +30,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -84,21 +85,17 @@ def tpu_updates_per_s(M=32, G=1, N=1 << 20, steps=512, dtype="float32"):
         def run(s):
             return lax.fori_loop(0, steps, lambda _, x: eng.step(x), s)
 
-    # Timing protocol (benchmarks/timing.py): compile + warm-up, then ONE
-    # tiny scalar D2H to drain the queue — on the axon tunnel, a process
-    # that never performed a D2H read has fire-and-forget dispatch where
-    # block_until_ready does NOT wait (measured: a 16-step and a
-    # 1600-step solve both "complete" in ~0.15 ms), so timings before the
-    # first D2H are garbage. The D2H flips the process into synchronous
-    # mode whose fixed ~24 ms/dispatch round-trip is INCLUDED in the
-    # timing and amortised by the steps count (~0.5-1 s per run).
-    out = run(state)                         # compile + warm-up
-    float(jnp.ravel(out.e0)[0])              # drain; sync mode from here
-    best = float("inf")
-    for _ in range(4):  # device/tunnel timing is noisy; take the best run
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(run(out))
-        best = min(best, time.perf_counter() - t0)
+    # Timing protocol: shared with the suite/weak-scaling harnesses
+    # (benchmarks/timing.py) — compile + warm-up, drain one scalar D2H
+    # (before it, the tunnel's dispatch is fire-and-forget and
+    # block_until_ready does NOT wait), then best-of-N of long runs with
+    # the fixed ~24-33 ms/dispatch sync cost INCLUDED and amortised by
+    # the steps count (~1 s per run).
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    from timing import time_best
+
+    best, out = time_best(run, state, repeats=4)
     # Guard: the timed state must be finite and bounded (equilibrium is
     # ~4.09) — refuse to report a rate measured on diverged garbage.
     for leaf in jax.tree_util.tree_leaves(out):
@@ -162,7 +159,8 @@ def reference_binary_updates_per_s(quick=False):
 
 def _measure_and_print(quick: bool) -> None:
     n_cells = 1 << 15 if quick else 1 << 20
-    steps = 2 if quick else 64
+    steps = 2 if quick else 512   # long runs amortise the fixed ~30 ms
+    # per-dispatch tunnel sync cost (benchmarks/timing.py)
     value = tpu_updates_per_s(N=n_cells, steps=steps)
     base = reference_binary_updates_per_s(quick)
     if base is None:

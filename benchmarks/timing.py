@@ -30,9 +30,14 @@ import jax.numpy as jnp
 def drain(out) -> None:
     """Force true completion of everything dispatched so far via one
     scalar D2H read (flips the tunnel into synchronous mode — do this
-    AFTER compile/warm-up and BEFORE the first timed call)."""
+    AFTER compile/warm-up and BEFORE the first timed call).
+
+    The scalar is a full reduction, not an element slice: a reduction's
+    output is replicated across the mesh, so the fetch is legal on every
+    process even when the leaf is a multi-host global array (an element
+    of a sharded leaf would only be addressable from its owner)."""
     leaf = jax.tree_util.tree_leaves(out)[0]
-    scalar = jnp.ravel(leaf)[0]           # device-side slice: tiny D2H
+    scalar = jax.jit(lambda x: jnp.sum(jnp.abs(x)))(leaf)
     float(scalar)
 
 

@@ -70,7 +70,11 @@ def main():
     from radiative_transfer_tpu import parallel
 
     tables32, _, _ = rt.transport.build_tables(cfg, dtype=jnp.float32)
-    peng = parallel.make_multichip_engine(cfg, tables32, mesh)
+    # platform="tpu": demonstrate the production TPU selection on this
+    # virtual CPU mesh (auto's off-TPU rule would pick the XLA engine,
+    # because interpret-mode Pallas loses there).
+    peng = parallel.make_multichip_engine(cfg, tables32, mesh,
+                                          platform="tpu")
     pends = np.asarray(peng.ends(peng.solve()))
     perr = np.abs(pends - single_ends).max() / scale
     print(f"{type(peng).__name__} (f32) vs f64 max rel diff: {perr:.2e}")

@@ -200,6 +200,11 @@ def main(argv=None) -> int:
     # Multi-process wiring must precede any backend touch; doing it here
     # (not in _run_sharded) also lets every console/file write below gate
     # on process 0 — a shared --outdir must not see concurrent writers.
+    # The halo engine is inherently mesh-based, so its implied mesh must
+    # be materialised BEFORE this gate (a multi-process `--engine halo`
+    # run with no --mesh still needs the coordinator wired).
+    if args.engine == "halo" and not args.mesh:
+        args.mesh = "1x1"
     if args.mesh:
         from .parallel import distributed
 
@@ -304,8 +309,6 @@ def _run(args, cfg, dtype):
     from .utils import io as io_mod  # noqa: F401  (kept for parity of imports)
 
     check_fn = _make_check_fn(args)
-    if args.engine == "halo" and not args.mesh:
-        args.mesh = "1x1"   # the halo engine is inherently mesh-based
     if args.engine == "auto" and not args.mesh and args.dtype != "float32":
         # f64 parity runs: the tiled XLA engine is the fast f64 path.
         args.engine = "fast"
@@ -453,11 +456,17 @@ def _run_sharded(args, cfg, dtype):
             from . import parallel
 
             if args.dtype != "float32":
-                # f64 parity requested: the XLA engine is the only f64
-                # mesh path — auto must honor the precision, not note
-                # it away.
-                eng = sharded_fast.ShardedFastEngine(cfg, tables, mesh,
-                                                     dtype=dtype)
+                # f64 parity requested: the XLA engines are the only f64
+                # paths — auto must honor the precision, not note it
+                # away; at a degenerate 1-device single-process mesh the
+                # plain FastEngine skips the ~19% mesh machinery.
+                from .ops.fast_sweep import FastEngine
+
+                if ng * nx == 1 and jax.process_count() == 1:
+                    eng = FastEngine(cfg, tables, dtype=dtype)
+                else:
+                    eng = sharded_fast.ShardedFastEngine(
+                        cfg, tables, mesh, dtype=dtype)
             else:
                 eng = parallel.make_multichip_engine(
                     cfg, tables, mesh, scan_tol=args.scan_tol)

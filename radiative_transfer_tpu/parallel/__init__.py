@@ -14,15 +14,19 @@ def _filter_kwargs(ctor, kw):
     return {k: v for k, v in kw.items() if k in accepted}
 
 
-def make_multichip_engine(cfg, tables, mesh, engine: str = "auto", **kw):
+def make_multichip_engine(cfg, tables, mesh, engine: str = "auto",
+                          platform=None, **kw):
     """Best engine for (cfg, mesh) — must never lose to a sibling:
 
+    * off-TPU (the Pallas kernels would run the INTERPRETER, which its
+      own benchmark data shows losing 2-3x to the XLA engine —
+      benchmarks/results/suite_virtual.json): the fast XLA engines;
     * mesh of ONE device (or mesh=None): the plain single-chip
       PallasEngine. At mesh 1x1 the collectives degenerate to
-      self-copies but their machinery still costs ~19% (measured,
-      docs/PERFORMANCE.md mesh-1x1 table: halo 45.3G vs plain 56.0G at
-      the headline shape), so 'auto' uses the mesh engines only when
-      there is actually more than one shard.
+      self-copies but their machinery still costs ~20% (measured,
+      docs/PERFORMANCE.md mesh-1x1 table: halo 51.0G vs plain 63.6G at
+      the headline shape) — EXCEPT at tiny batches (Bh < 8), where the
+      packed-rows kernel wins 1.66x;
     * multi-device mesh: the halo-overlap engine (fused K-step kernel
       per shard, one exchange per K steps) when its truncated-scan creep
       bound admits the workload, else the per-substep-exchange sharded
@@ -31,7 +35,9 @@ def make_multichip_engine(cfg, tables, mesh, engine: str = "auto", **kw):
     Pass engine='halo'/'pallas' to pin a mesh engine (halo raises
     ValueError with guidance if infeasible); engine='single' pins the
     plain PallasEngine. Those are float32; engine='fast' selects the
-    XLA engine (f64-capable, dtype=... kwarg).
+    XLA engine (f64-capable, dtype=... kwarg). `platform` overrides the
+    detected backend for the off-TPU rule (tests pin 'tpu' to exercise
+    the selection table deterministically on the CPU harness).
 
     Returns the constructed engine; all engines expose
     init_state/solve/ends/from_ends with identical semantics.
@@ -41,6 +47,20 @@ def make_multichip_engine(cfg, tables, mesh, engine: str = "auto", **kw):
     n_dev = 1 if mesh is None else mesh.size
     if engine == "fast":
         return sharded_fast.ShardedFastEngine(cfg, tables, mesh, **kw)
+    if engine == "auto":
+        if platform is None:
+            import jax
+
+            platform = jax.devices()[0].platform
+        if platform == "cpu":
+            fkw = _filter_kwargs(
+                sharded_fast.ShardedFastEngine.__init__, kw)
+            if n_dev == 1:
+                from ..ops import fast_sweep
+
+                fkw = _filter_kwargs(fast_sweep.FastEngine.__init__, kw)
+                return fast_sweep.FastEngine(cfg, tables, **fkw)
+            return sharded_fast.ShardedFastEngine(cfg, tables, mesh, **fkw)
     if engine == "single" or (engine == "auto" and n_dev == 1):
         if engine == "auto" and (cfg.M // 2) * cfg.G < 8:
             # Tiny batches (Bh < 8, e.g. S_2..S_8 gray decks) waste

@@ -71,6 +71,26 @@ def _barrier(tag: str) -> None:
         multihost_utils.sync_global_devices(tag)
 
 
+def _assert_same_start(start: int) -> None:
+    """Multi-host resume guard: process 0 alone writes checkpoints, so
+    ckpt_dir MUST be a shared filesystem — if it is not, processes find
+    different newest checkpoints and would run different chunk counts
+    into mismatched collectives (a silent distributed hang). Gather the
+    resumed step and fail fast with guidance instead."""
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    starts = np.asarray(multihost_utils.process_allgather(
+        np.int64(start), tiled=False)).ravel()
+    if not (starts == starts[0]).all():
+        raise RuntimeError(
+            f"processes resumed from different checkpoint steps "
+            f"{starts.tolist()} — the checkpoint directory must be a "
+            "filesystem shared by every process (process 0 is the only "
+            "writer)")
+
+
 def save_checkpoint(ckpt_dir: str, state: State, step: int, cfg: Config) -> str:
     """Write the state at full-step `step`. Atomic (write + rename).
 
@@ -169,6 +189,8 @@ def solve_with_checkpoints(
             state, start = load_checkpoint(latest, cfg)
             if check_fn is not None:
                 check_fn(state.ends, start)
+    if resume:
+        _assert_same_start(start)
 
     if solve_fn is not None:
         run_chunk = solve_fn
@@ -241,6 +263,8 @@ def solve_with_checkpoints_engine(
                 check_fn(gstate.ends, start)
             state = eng.from_ends(gstate.ends, gstate.prev_ends,
                                   gstate.half_ends)
+    if resume:
+        _assert_same_start(start)
     if state is None:
         state = eng.init_state()
 

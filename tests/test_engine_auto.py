@@ -72,14 +72,16 @@ def mesh8():
 def test_no_mesh_selects_plain_pallas_at_big_bh():
     cfg = _gray_big_bh()          # Bh = 8: plain-engine side
     tables, _, _ = transport.build_tables(cfg)
-    eng = parallel.make_multichip_engine(cfg, tables, None)
+    eng = parallel.make_multichip_engine(cfg, tables, None,
+                                         platform="tpu")
     assert isinstance(eng, PallasEngine)
 
 
 def test_no_mesh_selects_packed_at_tiny_bh():
     cfg = _gray()                 # Bh = 2: packed-rows side
     tables, _, _ = transport.build_tables(cfg)
-    eng = parallel.make_multichip_engine(cfg, tables, None)
+    eng = parallel.make_multichip_engine(cfg, tables, None,
+                                         platform="tpu")
     assert isinstance(eng, HaloPallasEngine)
     assert eng.Kx == 1
 
@@ -87,7 +89,8 @@ def test_no_mesh_selects_packed_at_tiny_bh():
 def test_tiny_bh_untruncatable_falls_back_to_plain():
     cfg = _gray()
     tables, _, _ = transport.build_tables(cfg)
-    eng = parallel.make_multichip_engine(cfg, tables, None, scan_tol=0.0)
+    eng = parallel.make_multichip_engine(cfg, tables, None, scan_tol=0.0,
+                                         platform="tpu")
     assert isinstance(eng, PallasEngine)
 
 
@@ -96,7 +99,8 @@ def test_one_device_mesh_selects_plain_pallas(mesh1):
     tables, _, _ = transport.build_tables(cfg)
     # Halo-only kwargs must be dropped for the plain engine, not raise.
     eng = parallel.make_multichip_engine(cfg, tables, mesh1,
-                                         steps_per_launch=4)
+                                         steps_per_launch=4,
+                                         platform="tpu")
     assert isinstance(eng, PallasEngine)
 
 
@@ -111,7 +115,8 @@ def test_single_pin(mesh8):
 def test_multi_device_truncatable_selects_halo(mesh8):
     cfg = _gray()
     tables, _, _ = transport.build_tables(cfg)
-    eng = parallel.make_multichip_engine(cfg, tables, mesh8, block=32)
+    eng = parallel.make_multichip_engine(cfg, tables, mesh8, block=32,
+                                         platform="tpu")
     assert isinstance(eng, HaloPallasEngine)
 
 
@@ -121,8 +126,26 @@ def test_multi_device_untruncatable_selects_sharded(mesh8):
     cfg = _gray()
     tables, _, _ = transport.build_tables(cfg)
     eng = parallel.make_multichip_engine(cfg, tables, mesh8, block=32,
-                                         scan_tol=0.0)
+                                         scan_tol=0.0, platform="tpu")
     assert isinstance(eng, ShardedPallasEngine)
+
+
+def test_cpu_platform_selects_fast_engines(mesh8):
+    """Off-TPU the Pallas kernels would run the interpreter (2-3x slower
+    than the XLA engine, benchmarks/results/suite_virtual.json) — auto
+    must pick the fast engines there."""
+    from radiative_transfer_tpu.ops.fast_sweep import FastEngine
+    from radiative_transfer_tpu.parallel.sharded_fast import (
+        ShardedFastEngine,
+    )
+
+    cfg = _gray()
+    tables, _, _ = transport.build_tables(cfg)
+    eng = parallel.make_multichip_engine(cfg, tables, None, platform="cpu")
+    assert isinstance(eng, FastEngine)
+    eng = parallel.make_multichip_engine(cfg, tables, mesh8,
+                                         platform="cpu", scan_tol=1e-10)
+    assert isinstance(eng, ShardedFastEngine)
 
 
 def test_auto_solution_matches_pallas(mesh1):
@@ -131,7 +154,8 @@ def test_auto_solution_matches_pallas(mesh1):
     cfg = _gray_big_bh(steps=3)
     tables, _, _ = transport.build_tables(cfg)
     ref = PallasEngine(cfg, tables).solve()
-    eng = parallel.make_multichip_engine(cfg, tables, mesh1)
+    eng = parallel.make_multichip_engine(cfg, tables, mesh1,
+                                         platform="tpu")
     got = eng.solve()
     np.testing.assert_array_equal(np.asarray(got.e0), np.asarray(ref.e0))
 
@@ -164,7 +188,8 @@ def test_auto_packed_solution_matches_pallas():
     tables, _, _ = transport.build_tables(cfg)
     peng = PallasEngine(cfg, tables, block=32)
     ref = np.asarray(peng.ends(peng.solve()))
-    eng = parallel.make_multichip_engine(cfg, tables, None)
+    eng = parallel.make_multichip_engine(cfg, tables, None,
+                                         platform="tpu")
     assert isinstance(eng, HaloPallasEngine)
     got = np.asarray(eng.ends(eng.solve()))
     scale = np.abs(ref).max()
@@ -178,7 +203,9 @@ def test_auto_packed_solution_matches_pallas():
     # to the plain engine — both are correct selections. The subprocess
     # inherits whatever platform is attached, so accept either.
     ("float32", ("auto engine: HaloPallasEngine (single chip)",
-                 "auto engine: PallasEngine (single chip)")),
+                 "auto engine: PallasEngine (single chip)",
+                 # CPU-only hosts: interpret mode loses, auto picks XLA
+                 "auto engine: FastEngine (single chip)")),
     ("float64", ("auto engine: fast (single chip, float64)",)),
 ])
 def test_cli_auto_single_chip(tmp_path, dtype, wants):

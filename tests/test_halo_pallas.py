@@ -265,7 +265,8 @@ def test_make_multichip_engine_auto(mesh8):
 
     cfg = _gray(max_timesteps=4)
     tables, _, _ = transport.build_tables(cfg)
-    eng = parallel.make_multichip_engine(cfg, tables, mesh8, block=32)
+    eng = parallel.make_multichip_engine(cfg, tables, mesh8, block=32,
+                                         platform="tpu")
     assert isinstance(eng, halo_pallas.HaloPallasEngine)
 
     cfg2 = load_config(reference_deck("llnl_slab_test.prm"), N=64)
@@ -273,7 +274,8 @@ def test_make_multichip_engine_auto(mesh8):
     # halo-only kwargs (steps_per_launch) must be dropped when the
     # fallback constructor fires, not raise TypeError.
     eng2 = parallel.make_multichip_engine(cfg2, tables2, mesh8, block=8,
-                                          steps_per_launch=4)
+                                          steps_per_launch=4,
+                                          platform="tpu")
     assert isinstance(eng2, sharded_pallas.ShardedPallasEngine)
 
 
