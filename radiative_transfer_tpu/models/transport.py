@@ -441,12 +441,35 @@ def result_from_ends(cfg: Config, tables: Tables, ends: jnp.ndarray,
     )
 
 
-def run_problem(cfg: Config, dtype=jnp.float64, num_steps: Optional[int] = None) -> SolveResult:
+def run_problem(cfg: Config, dtype=jnp.float64,
+                num_steps: Optional[int] = None,
+                engine: str = "general") -> SolveResult:
     """End-to-end: setup -> solve -> diagnostics (the main() flow,
-    reference: src/main.cc:60-136)."""
+    reference: src/main.cc:60-136).
+
+    engine='general' (default) runs this module's readable f64-capable
+    path; engine='auto' routes through the shape-aware perf-engine
+    selection (parallel.make_multichip_engine — float32 compute,
+    diagnostics in f64); engine='fast' pins the tiled XLA engine at
+    `dtype`."""
     tables, _, ct = build_tables(cfg, dtype=dtype)
     if cfg.include_validation:
         assert validate_tables(cfg, ct), "Invalid Correction Terms"
+    if engine != "general":
+        if engine == "fast":
+            from ..ops.fast_sweep import FastEngine
+
+            eng = FastEngine(cfg, tables, dtype=dtype)
+        elif engine == "auto":
+            from ..parallel import make_multichip_engine
+
+            eng = make_multichip_engine(cfg, tables, None)
+        else:
+            raise ValueError(f"unknown engine {engine!r} "
+                             "(general/fast/auto)")
+        ends = jnp.asarray(eng.ends(eng.solve(num_steps=num_steps)),
+                           jnp.float64)
+        return result_from_ends(cfg, tables, ends)
     state = initial_state(cfg, tables, dtype=dtype)
     state = solve(cfg, tables, state, num_steps)
 

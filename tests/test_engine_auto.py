@@ -160,6 +160,20 @@ def test_auto_solution_matches_pallas(mesh1):
     np.testing.assert_array_equal(np.asarray(got.e0), np.asarray(ref.e0))
 
 
+def test_run_problem_engine_param():
+    """transport.run_problem(engine=...) is the library-level entry to
+    the perf engines: same diagnostics, documented f32 drift bar."""
+    cfg = load_config(reference_deck("single_group.prm"), max_timesteps=10)
+    a = transport.run_problem(cfg)
+    b = transport.run_problem(cfg, engine="auto")
+    c = transport.run_problem(cfg, engine="fast")
+    pa = np.asarray(a.phi)
+    assert np.abs(np.asarray(b.phi) - pa).max() / np.abs(pa).max() < 1e-5
+    np.testing.assert_allclose(np.asarray(c.phi), pa, rtol=1e-12)
+    with pytest.raises(ValueError, match="unknown engine"):
+        transport.run_problem(cfg, engine="bogus")
+
+
 def test_cli_auto_mesh_f64_uses_fast_engine(tmp_path):
     """auto must honor an explicit f64 request on a mesh by selecting the
     XLA engine (not noting the precision away and running f32)."""
