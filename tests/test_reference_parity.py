@@ -341,7 +341,10 @@ def test_gray_multichip_matches_reference_binary(transfer_binary, tmp_path,
 
 
 def test_be_and_cn_match_reference_binary(transfer_binary, tmp_path):
-    """The pure BE and CN integrators, via modified decks."""
+    """The pure BE and CN integrators, via modified decks — through the
+    general f64 engine AND directly through the f32 Pallas engine (its
+    BE/CN multi-step kernels get their own binary-parity link, not just
+    the engine-equivalence chain)."""
     base = open(reference_deck("multi_group_equilibrium.prm")).read()
     for ts in (1, 2):
         work = tmp_path / f"ts{ts}"
@@ -354,3 +357,20 @@ def test_be_and_cn_match_reference_binary(transfer_binary, tmp_path):
         refdir = _run_reference(transfer_binary, deck, str(work))
         ourdir = _run_ours(deck, str(work / "ours"))
         _compare(refdir, ourdir)
+
+        pdir = _run_ours_pallas(deck, str(work / "ours_pallas"))
+        phi_scale = np.abs(
+            np.loadtxt(os.path.join(refdir, "phi.csv"))).max()
+        for name in FIELDS:
+            a = np.loadtxt(os.path.join(refdir, name + ".csv"))
+            b = np.loadtxt(os.path.join(pdir, name + ".csv"))
+            assert a.shape == b.shape, name
+            # F ~ 0 near equilibrium: relative-to-own-max would compare
+            # two cancellation-level fields — bound it against the
+            # physical flux scale phi instead (as the gray pallas test).
+            scale = phi_scale if name == "F" else max(np.abs(a).max(),
+                                                      1e-300)
+            err = np.abs(a - b).max() / scale
+            # f32 drift bar for the correction-coupled multigroup deck
+            # (docs/PERFORMANCE.md "f32 accuracy": ~3e-5 plateau).
+            assert err < 2e-4, f"ts={ts} {name}: {err:.3e}"
