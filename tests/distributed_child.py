@@ -137,6 +137,41 @@ def main() -> None:
     assert hlocal.shape == (cfgh.M, cfgh.G, cfgh.N, 2), hlocal.shape
     if process_id == 0:
         np.save(os.path.join(outdir, "halo_ends.npy"), hlocal)
+    multihost_utils.sync_global_devices("halo-done")
+
+    # GROUP axis spanning the processes (mesh (g=2, x=1)): the halo
+    # engine's reflective-fixup all_gather over 'g' and the sharded
+    # per-substep engine's composite exchange both cross the process
+    # boundary through a different collective than the spatial ppermute.
+    from radiative_transfer_tpu.parallel import sharded_fast
+    from radiative_transfer_tpu.parallel.sharded_pallas import (
+        ShardedPallasEngine,
+    )
+
+    mesh2d = sharded_fast.make_mesh_2d(num_processes, 1)
+    distributed.assert_mesh_spans_hosts(mesh2d)
+    cfgg = Config(
+        M=4, G=2, N=1024, efirst=0.1, elast=10.0, X=10.24,
+        bc_left_indicator=2, bc_right_indicator=1,
+        psi_source=tuple((4.0931,) * 2 for _ in range(4)),
+        rho=1.0, kappa_grey=1.0, T=1.0, V=0.0, use_correction=True,
+        ts_method=3, dt=1e-5, max_timesteps=3,
+        include_validation=False,
+    )
+    tablesg, _, _ = transport.build_tables(cfgg, dtype=jnp.float32)
+    geng = HaloPallasEngine(cfgg, tablesg, mesh2d, block=32)
+    assert geng.NG == num_processes and geng.Kx == 1
+    gends = geng.ends(geng.solve())
+    glocal = np.asarray(multihost_utils.process_allgather(gends, tiled=True))
+    if process_id == 0:
+        np.save(os.path.join(outdir, "halo_g_ends.npy"), glocal)
+    multihost_utils.sync_global_devices("halo-g-done")
+
+    speng = ShardedPallasEngine(cfgg, tablesg, mesh2d, block=32)
+    sends = speng.ends(speng.solve())
+    slocal = np.asarray(multihost_utils.process_allgather(sends, tiled=True))
+    if process_id == 0:
+        np.save(os.path.join(outdir, "sharded_g_ends.npy"), slocal)
     multihost_utils.sync_global_devices("done")
 
 

@@ -102,6 +102,27 @@ def test_two_process_sharded_solve_matches_single_process(tmp_path):
     scale = np.abs(want_h).max()
     assert np.abs(got_h - want_h).max() / scale < 2e-6
 
+    # GROUP-axis-across-processes runs (mesh (g=2, x=1), written by the
+    # same children): the halo reflective-fixup all_gather over 'g' and
+    # the sharded composite exchange cross the process boundary.
+    cfgg = Config(
+        M=4, G=2, N=1024, efirst=0.1, elast=10.0, X=10.24,
+        bc_left_indicator=2, bc_right_indicator=1,
+        psi_source=tuple((4.0931,) * 2 for _ in range(4)),
+        rho=1.0, kappa_grey=1.0, T=1.0, V=0.0, use_correction=True,
+        ts_method=3, dt=1e-5, max_timesteps=3,
+        include_validation=False,
+    )
+    tablesg, _, _ = transport.build_tables(cfgg, dtype=jnp.float32)
+    pengg = PallasEngine(cfgg, tablesg, block=32)
+    want_g = np.asarray(pengg.ends(pengg.solve()))
+    gscale = np.abs(want_g).max()
+    for fname, tol in (("halo_g_ends.npy", 2e-6),
+                       ("sharded_g_ends.npy", 1e-5)):
+        got_g = np.load(tmp_path / fname)
+        assert got_g.shape == want_g.shape, fname
+        assert np.abs(got_g - want_g).max() / gscale < tol, fname
+
 
 def _run_children(tmp_path, mode, port=None):
     port = port or _free_port()
