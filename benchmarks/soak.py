@@ -15,6 +15,10 @@ state (0.1328), exactly as a stable-but-highly-non-normal upwind
 operator with a reflective boundary can. The f32 engines track the f64
 trajectory through the entire excursion to ~1e-4 relative.
 
+The per-chunk `updates_per_s` includes the full-state materialisation,
+the checkpoint write, and the tunnel sync cost — this is a STABILITY
+artifact, not a throughput benchmark (rates live in benchmarks/suite.py).
+
 Usage: python benchmarks/soak.py [--steps 20480] [--chunk 2048]
 """
 from __future__ import annotations
