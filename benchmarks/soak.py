@@ -42,7 +42,6 @@ def main():
     ap.add_argument("--n-cells", type=int, default=1 << 12)
     args = ap.parse_args()
 
-    import jax
     import jax.numpy as jnp
     import numpy as np
 

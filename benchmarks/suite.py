@@ -17,9 +17,6 @@ import argparse
 import json
 import os
 import sys
-import time
-
-import numpy as np
 
 # Allow `python benchmarks/suite.py` from anywhere (repo root for the
 # package, this directory for the shared timing helper).

@@ -34,7 +34,7 @@ Boundary conditions (solver.cpp:639-692):
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -38,7 +38,6 @@ Falls back to interpret mode off-TPU so CPU tests exercise the same code.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
