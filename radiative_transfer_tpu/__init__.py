@@ -39,6 +39,7 @@ def __getattr__(name):
 
     lazy = {
         "parallel", "plot", "native", "ops", "utils", "data", "cli",
+        "adjoint",
     }
     if name in lazy:
         return importlib.import_module(f".{name}", __name__)
@@ -47,6 +48,6 @@ def __getattr__(name):
 
 __version__ = "0.1.0"
 
-__all__ = ["Config", "load_config", "constants", "transport", "cli",
-           "data", "native", "ops", "parallel", "plot", "utils",
+__all__ = ["Config", "load_config", "constants", "transport", "adjoint",
+           "cli", "data", "native", "ops", "parallel", "plot", "utils",
            "__version__"]

@@ -1,0 +1,246 @@
+"""Differentiable (adjoint) solves: exact gradients of the transport
+solution with respect to physics parameters.
+
+The serial C++ reference has no analogue of this module — it exists
+because the TPU-native solve is a pure-functional JAX program end to
+end, so `jax.grad` composes with the same batched associative-scan sweep
+(ops/sweep.py) and the same BE/CN/BDF2 integrators (models/transport.py)
+used by the forward path, yielding the exact discrete adjoint of the
+fully-implicit scheme (discretize-then-differentiate). Use cases:
+inverse opacity problems (fit group kappas to an observed flux/spectrum),
+boundary-source estimation, and sensitivity analysis.
+
+Differentiable parameters — the kappa/rho-dependent half of the
+reference's T-frozen table chain (src/correction.cpp) re-traced in jnp
+so gradients flow through every derived table:
+
+* ``kappa`` (G,) — group opacities. Reaches the solve through rhokap,
+  the group-edge interpolation (src/correction.cpp:125-159), dsigEdE /
+  dkapEB (:206-211, :241-249 — including the G == 1 last-group
+  overwrite quirk, see docs/QUIRKS.md #7) and cor1/2/3 (:328-340).
+* ``rho`` (G,) — material density (rhokap and cor2).
+* ``psi_source`` (M, G) — boundary source intensities.
+* the initial ``State`` — trivially, as the function input.
+
+The material temperature stays frozen: the Planck integrals B_g/dB_g
+use the reference's 3-regime host integrator (ops/planck.py) and enter
+here as constants. (A traced T would need a jnp re-derivation of that
+integrator; the parameters above already close the standard inverse
+problems, which observe a fixed-T slab.)
+
+Memory: reverse-mode through ``num_steps`` steps stores one State per
+step; each step body is rematerialised (`jax.checkpoint`) so the 4-8
+sweeps inside a CN/BDF2 step are recomputed in the backward pass rather
+than stored. Run in float64 (the package default) — adjoint sweeps
+compose the same contractive affine maps as the primal, so they are
+well-conditioned, but FD validation needs the headroom.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .config.config import Config
+from .models import transport
+from .models.transport import State, Tables
+from .ops import correction as corr_mod
+
+_PARAM_KEYS = ("kappa", "rho", "psi_source")
+
+
+def _edge_planck(cfg: Config, e_edge: np.ndarray) -> np.ndarray:
+    """pf(e_edge, T) with the unused E=0 edge zeroed (the reference only
+    ever evaluates pf at edges 1..G, src/correction.cpp:162-249)."""
+    pfe = np.zeros(e_edge.shape[0], dtype=np.float64)
+    pfe[1:] = corr_mod.pf(e_edge[1:], cfg.T)
+    return pfe
+
+
+def traced_tables(
+    cfg: Config,
+    base: Tables,
+    kappa: Optional[jnp.ndarray] = None,
+    rho: Optional[jnp.ndarray] = None,
+    psi_source: Optional[jnp.ndarray] = None,
+) -> Tables:
+    """Rebuild the kappa/rho-dependent Tables leaves as traced jnp values.
+
+    Exactly mirrors the host-side build (ops/correction.py
+    build_correction_tables <- src/correction.cpp:125-340), including the
+    unguarded G == 1 dsigEdE last-group overwrite: the reference writes
+    entry 0 with the first-group form and then overwrites it with the
+    last-group form, which the ``.at[0]`` -> ``.at[G-1]`` set order
+    replicates. T-only leaves (B, dEB, quadrature, grid) pass through
+    from ``base`` untouched.
+
+    Intended for use INSIDE a traced function (make_diff_solve): the
+    returned Tables carries tracers, deliberately violating the
+    host-numpy rule of models/transport.Tables — which only governs
+    leaves captured by jit closures, not jit arguments.
+    """
+    dtype = np.asarray(base.B).dtype
+    G = cfg.G
+
+    # Constants w.r.t. the differentiable parameters (host f64).
+    e_edge = np.asarray(base.e_edge, np.float64)
+    e_ave = np.asarray(base.e_ave, np.float64)
+    de_ave = np.asarray(base.de_ave, np.float64)
+    B = np.asarray(base.B, np.float64)
+    dEB = np.asarray(base.dEB, np.float64)
+    pfe = _edge_planck(cfg, e_edge)
+
+    kappa = jnp.asarray(base.kappa if kappa is None else kappa, dtype)
+    rho = jnp.asarray(base.rho if rho is None else rho, dtype)
+    if psi_source is None:
+        psi_source = jnp.asarray(base.psi_source, dtype)
+    else:
+        psi_source = jnp.asarray(psi_source, dtype)
+
+    kappa64 = kappa.astype(jnp.float64)
+    rho64 = rho.astype(jnp.float64)
+
+    # Group-edge opacities (src/correction.cpp:125-159): linear-in-e_ave
+    # interpolation; both outer edges clamp to the adjacent group value.
+    if G > 1:
+        wgt_l = (e_ave[1:] - e_edge[1:G]) / (e_ave[1:] - e_ave[:-1])
+        wgt_r = (e_edge[1:G] - e_ave[:-1]) / (e_ave[1:] - e_ave[:-1])
+        interior = kappa64[:-1] * wgt_l + kappa64[1:] * wgt_r
+        kappa_edge = jnp.concatenate([kappa64[:1], interior, kappa64[-1:]])
+    else:
+        kappa_edge = jnp.concatenate([kappa64[:1], kappa64[:1]])
+
+    ke_e = kappa_edge * e_edge                      # (G+1,) kappa*E at edges
+
+    # dsigEdE (src/correction.cpp:206-211). General central difference,
+    # then the one-sided ends — LAST write wins, replicating the G == 1
+    # overwrite of entry 0 by the last-group form.
+    dsig = jnp.diff(ke_e) / de_ave
+    dsig = dsig.at[0].set(ke_e[1] / de_ave[0])
+    dsig = dsig.at[G - 1].set(-ke_e[G] / de_ave[G - 1])
+
+    # dkapEB (src/correction.cpp:241-249); the last-group form uses edge
+    # index G-1 (as written in the reference), and for G == 1 only the
+    # first-group form applies (the rest is guarded by num_groups > 1).
+    kep = ke_e * pfe                                # (G+1,) kappa*E*B at edges
+    if G > 1:
+        dkap = jnp.diff(kep)
+        dkap = dkap.at[0].set(kep[1])
+        dkap = dkap.at[G - 1].set(-ke_e[G - 1] * pfe[G - 1])
+    else:
+        dkap = kep[1:2]
+
+    cor1 = dsig
+    cor2 = 3.0 * rho64 * kappa64 * B - dkap
+    cor3 = cor1 * (4.0 * B - dEB)
+
+    as_dt = lambda x: jnp.asarray(x, dtype)  # noqa: E731
+    return base._replace(
+        kappa=as_dt(kappa),
+        rho=as_dt(rho),
+        rhokap=as_dt(rho64 * kappa64),
+        cor1=as_dt(cor1),
+        cor2=as_dt(cor2),
+        cor3=as_dt(cor3),
+        psi_source=psi_source,
+    )
+
+
+def make_diff_solve(
+    cfg: Config,
+    tables: Tables,
+    num_steps: Optional[int] = None,
+    remat: bool = True,
+):
+    """Build ``solve_fn(params, state) -> State``, differentiable in both
+    arguments.
+
+    ``params`` is a dict with any subset of {'kappa', 'rho',
+    'psi_source'}; omitted parameters stay frozen at their ``tables``
+    values. The returned function runs ``num_steps`` full timesteps
+    (default cfg.max_timesteps) of cfg.ts_method, exactly the program of
+    models/transport.solve, as a `lax.scan` so reverse-mode stores one
+    State per step; with ``remat`` each step recomputes its sweeps in
+    the backward pass.
+
+    Compose with the standard diagnostics for observables::
+
+        solve_fn = make_diff_solve(cfg, tables)
+
+        def loss(params):
+            final = solve_fn(params, state0)
+            phi = transport.compute_phi(
+                transport.psi_from_ends(final.ends), tables.wt)
+            return jnp.mean((phi - phi_target) ** 2)
+
+        g = jax.grad(loss)({'kappa': kappa0})   # d loss / d kappa, (G,)
+
+    Wrap the caller in `jax.jit` for repeated evaluation (the params
+    dict is a pytree argument, so no retrace per value).
+    """
+    n = cfg.max_timesteps if num_steps is None else num_steps
+
+    def solve_fn(params: dict, state: State) -> State:
+        unknown = set(params) - set(_PARAM_KEYS)
+        if unknown:
+            raise ValueError(
+                f"unknown differentiable parameters {sorted(unknown)}; "
+                f"supported: {_PARAM_KEYS}"
+            )
+        t = traced_tables(cfg, tables, **params)
+        step = transport.make_step_fn(cfg, t)
+
+        def body(s, _):
+            return step(s), None
+
+        if remat:
+            body = jax.checkpoint(body)
+        out, _ = lax.scan(body, state, None, length=n)
+        return out
+
+    return solve_fn
+
+
+def fit_params(
+    cfg: Config,
+    tables: Tables,
+    state0: State,
+    loss_of_state,
+    params0: dict,
+    num_steps: Optional[int] = None,
+    learning_rate: float = 1e-2,
+    iterations: int = 100,
+    optimizer=None,
+):
+    """Gradient-descent parameter estimation (the inverse-problem driver).
+
+    Minimises ``loss_of_state(final_state, params)`` over ``params0``'s
+    leaves with optax (Adam by default). Returns (params, loss_history).
+    The whole update step — forward solve, adjoint, optimizer — is one
+    jitted program; iterations stream on-device.
+    """
+    import optax
+
+    opt = optax.adam(learning_rate) if optimizer is None else optimizer
+    solve_fn = make_diff_solve(cfg, tables, num_steps=num_steps)
+
+    def loss_fn(params):
+        return loss_of_state(solve_fn(params, state0), params)
+
+    @jax.jit
+    def update(params, opt_state):
+        val, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, val
+
+    params = jax.tree_util.tree_map(jnp.asarray, params0)
+    opt_state = opt.init(params)
+    history = []
+    for _ in range(iterations):
+        params, opt_state, val = update(params, opt_state)
+        history.append(float(val))
+    return params, history
