@@ -22,11 +22,15 @@ so gradients flow through every derived table:
 * ``psi_source`` (M, G) — boundary source intensities.
 * the initial ``State`` — trivially, as the function input.
 
-The material temperature stays frozen: the Planck integrals B_g/dB_g
-use the reference's 3-regime host integrator (ops/planck.py) and enter
-here as constants. (A traced T would need a jnp re-derivation of that
-integrator; the parameters above already close the standard inverse
-problems, which observe a fixed-T slab.)
+* ``T`` (scalar) — material temperature, to FIRST ORDER around the
+  deck value: T reaches the solve only through the Planckian tables
+  (B_g, dEB_g, the edge Planck function), and the reference's own
+  analytic temperature derivatives (dB_g/dT from the 3-regime
+  integrator, src/Planck.cpp; d pf/dT in closed form) make the traced
+  tables exactly linear in (T - T0). Gradients AT the deck temperature
+  are therefore exact; the forward value away from T0 is the
+  tangent-linear model (re-center by rebuilding tables to iterate on
+  T — see ``fit_params``'s docstring).
 
 Memory: reverse-mode through ``num_steps`` steps stores one State per
 step; each step body is rematerialised (`jax.checkpoint`) so the 4-8
@@ -50,7 +54,7 @@ from .models import transport
 from .models.transport import State, Tables
 from .ops import correction as corr_mod
 
-_PARAM_KEYS = ("kappa", "rho", "psi_source")
+_PARAM_KEYS = ("kappa", "rho", "psi_source", "T")
 
 
 def _edge_planck(cfg: Config, e_edge: np.ndarray) -> np.ndarray:
@@ -61,12 +65,54 @@ def _edge_planck(cfg: Config, e_edge: np.ndarray) -> np.ndarray:
     return pfe
 
 
+def _edge_planck_dT(cfg: Config, e_edge: np.ndarray) -> np.ndarray:
+    """d pf(e_edge, T)/dT in closed form:
+    pf = k E^3 / (h^3 c^2 (e^{E/T} - 1))  =>
+    dpf/dT = pf * (E/T^2) * e^{E/T} / (e^{E/T} - 1)."""
+    d = np.zeros(e_edge.shape[0], dtype=np.float64)
+    E = np.asarray(e_edge[1:], np.float64)
+    T = cfg.T
+    x = np.exp(E / T)
+    d[1:] = corr_mod.pf(E, T) * (E / T**2) * x / (x - 1.0)
+    return d
+
+
+def _planck_dT_tables(cfg: Config):
+    """Host analytic T-derivatives of every T-dependent table at the deck
+    temperature: (dBdT, d(dEB)/dT, d pfe/dT), all in jk units.
+
+    dBdT comes from the reference's own 3-regime integrator
+    (src/Planck.cpp — the code computes it alongside B_g and validates
+    sum dB_g/dT = 4 a c T^3); d(dEB)/dT and d pfe/dT follow from the
+    closed-form pf derivative with the same edge-difference structure
+    as dEB/dkapEB (src/correction.cpp:162-174, 241-249)."""
+    from .ops import planck as planck_mod
+    from .ops.groups import build_group_grid
+
+    grid = build_group_grid(cfg.G, cfg.efirst, cfg.elast,
+                            cfg.group_bounds_array())
+    _, dBdT_keV = planck_mod.planck_group_integrals(cfg.T, grid.edisc)
+    dBdT = corr_mod._KCON * dBdT_keV
+
+    e_edge = grid.e_edge
+    G = cfg.G
+    dpfe = _edge_planck_dT(cfg, e_edge)
+    ddEB = np.zeros(G, dtype=np.float64)
+    ddEB[0] = e_edge[1] * dpfe[1]
+    if G > 1:
+        for g in range(1, G - 1):
+            ddEB[g] = e_edge[g + 1] * dpfe[g + 1] - e_edge[g] * dpfe[g]
+        ddEB[G - 1] = -e_edge[G - 1] * dpfe[G - 1]
+    return dBdT, ddEB, dpfe
+
+
 def traced_tables(
     cfg: Config,
     base: Tables,
     kappa: Optional[jnp.ndarray] = None,
     rho: Optional[jnp.ndarray] = None,
     psi_source: Optional[jnp.ndarray] = None,
+    T: Optional[jnp.ndarray] = None,
 ) -> Tables:
     """Rebuild the kappa/rho-dependent Tables leaves as traced jnp values.
 
@@ -94,10 +140,28 @@ def traced_tables(
     dEB = np.asarray(base.dEB, np.float64)
     pfe = _edge_planck(cfg, e_edge)
 
+    if T is not None:
+        # Exact linearisation around the deck temperature: every
+        # T-dependence of the solve goes through (B, dEB, pfe), and
+        # their analytic derivatives are available, so the traced
+        # tables are linear in (T - T0) with the true slope.
+        dBdT, ddEB, dpfe = _planck_dT_tables(cfg)
+        dT = jnp.asarray(T, jnp.float64) - cfg.T
+        B = B + dBdT * dT
+        dEB = dEB + ddEB * dT
+        pfe = pfe + dpfe * dT
+
     kappa = jnp.asarray(base.kappa if kappa is None else kappa, dtype)
     rho = jnp.asarray(base.rho if rho is None else rho, dtype)
     if psi_source is None:
-        psi_source = jnp.asarray(base.psi_source, dtype)
+        if T is not None and cfg.use_mg_equilib:
+            # The equilibrium boundary source is itself Planckian
+            # (solver.cpp:287-315) — rebuild it from the traced B/dEB.
+            mu = np.asarray(base.mu, np.float64)
+            psi_source = corr_mod.equilibrium_psi_source(B, dEB, mu, cfg.V)
+            psi_source = jnp.asarray(psi_source, dtype)
+        else:
+            psi_source = jnp.asarray(base.psi_source, dtype)
     else:
         psi_source = jnp.asarray(psi_source, dtype)
 
@@ -143,11 +207,24 @@ def traced_tables(
         kappa=as_dt(kappa),
         rho=as_dt(rho),
         rhokap=as_dt(rho64 * kappa64),
+        B=as_dt(B),
+        dEB=as_dt(dEB),
         cor1=as_dt(cor1),
         cor2=as_dt(cor2),
         cor3=as_dt(cor3),
         psi_source=psi_source,
     )
+
+
+def traced_initial_state(cfg: Config, tables: Tables) -> State:
+    """The reference initial condition psi = ends = B_g
+    (src/solver.cpp:165-181) built from possibly-traced tables, so a
+    temperature gradient includes the initial condition's T-dependence."""
+    ends = jnp.broadcast_to(
+        jnp.asarray(tables.B)[None, :, None, None],
+        (cfg.M, cfg.G, cfg.N, 2),
+    )
+    return State(ends=ends, prev_ends=ends, half_ends=ends)
 
 
 def make_diff_solve(
@@ -160,8 +237,12 @@ def make_diff_solve(
     arguments.
 
     ``params`` is a dict with any subset of {'kappa', 'rho',
-    'psi_source'}; omitted parameters stay frozen at their ``tables``
-    values. The returned function runs ``num_steps`` full timesteps
+    'psi_source', 'T'}; omitted parameters stay frozen at their
+    ``tables`` values (for 'T', gradients are exact at the deck
+    temperature — see the module docstring). Pass ``state=None`` to
+    build the reference initial condition psi = B_g from the traced
+    tables, so dT gradients include the initial condition.
+    The returned function runs ``num_steps`` full timesteps
     (default cfg.max_timesteps) of cfg.ts_method, exactly the program of
     models/transport.solve, as a `lax.scan` so reverse-mode stores one
     State per step; with ``remat`` each step recomputes its sweeps in
@@ -184,7 +265,7 @@ def make_diff_solve(
     """
     n = cfg.max_timesteps if num_steps is None else num_steps
 
-    def solve_fn(params: dict, state: State) -> State:
+    def solve_fn(params: dict, state: Optional[State]) -> State:
         unknown = set(params) - set(_PARAM_KEYS)
         if unknown:
             raise ValueError(
@@ -192,6 +273,8 @@ def make_diff_solve(
                 f"supported: {_PARAM_KEYS}"
             )
         t = traced_tables(cfg, tables, **params)
+        if state is None:
+            state = traced_initial_state(cfg, t)
         step = transport.make_step_fn(cfg, t)
 
         def body(s, _):
@@ -222,6 +305,12 @@ def fit_params(
     leaves with optax (Adam by default). Returns (params, loss_history).
     The whole update step — forward solve, adjoint, optimizer — is one
     jitted program; iterations stream on-device.
+
+    To iterate on 'T' (whose trace is linearised at the deck value),
+    re-center between calls: run a few iterations, rebuild tables at
+    the updated temperature (build_tables(cfg.replace(T=...))), repeat —
+    each call then performs a Gauss–Newton-like step with the exact
+    local derivative.
     """
     import optax
 

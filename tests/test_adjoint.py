@@ -238,3 +238,68 @@ def test_inverse_opacity_recovery():
     assert hist[-1] < hist[0] * 1e-4, (hist[0], hist[-1])
     np.testing.assert_allclose(
         np.asarray(params["kappa"]), k_true, rtol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# 4. temperature sensitivity (linearised-at-deck-T trace)
+# ---------------------------------------------------------------------------
+
+def _true_model_loss_at_T(cfg, n):
+    """Loss of the TRUE model at temperature T: host tables rebuilt via
+    the 3-regime Planck integrator, initial condition psi = B(T)."""
+    def f(T):
+        c = cfg.replace(T=float(T))
+        tb, _, _ = transport.build_tables(c)
+        st = transport.initial_state(c, tb)
+        final = transport.solve(c, tb, st, num_steps=n)
+        phi = transport.compute_phi(
+            transport.psi_from_ends(final.ends), np.asarray(tb.wt))
+        return float(jnp.sum(phi**2) * 1e3)
+    return f
+
+
+@pytest.mark.parametrize("use_mg_equilib", [False, True])
+def test_grad_T_matches_true_model_fd(use_mg_equilib):
+    """d loss / dT from the linearised trace equals the true model's
+    central difference at the deck temperature — the linearisation is
+    exact AT T0, so AD here is the true derivative, and FD of the
+    full nonlinear rebuild (new Planck integrals, new equilibrium
+    source, new initial condition) validates it end to end."""
+    kw = dict(ts_method=3, max_timesteps=2)
+    if use_mg_equilib:
+        kw.update(use_mg_equilib=True, psi_source=())
+    cfg = small_cfg(**kw)
+    tables, _ = setup(cfg)
+    n = 2
+
+    solve_fn = adjoint.make_diff_solve(cfg, tables, num_steps=n)
+    wt = np.asarray(tables.wt)
+
+    def loss(T):
+        final = solve_fn({"T": T}, None)  # state from traced tables
+        phi = transport.compute_phi(
+            transport.psi_from_ends(final.ends), wt)
+        return jnp.sum(phi**2) * 1e3
+
+    g_ad = float(jax.grad(loss)(jnp.asarray(cfg.T)))
+
+    f = _true_model_loss_at_T(cfg, n)
+    eps = 1e-5
+    g_fd = (f(cfg.T + eps) - f(cfg.T - eps)) / (2 * eps)
+    np.testing.assert_allclose(g_ad, g_fd, rtol=2e-4)
+
+
+def test_traced_tables_T_identity_at_deck_value():
+    """T = deck T reproduces the host tables exactly (dT = 0)."""
+    cfg = small_cfg(use_mg_equilib=True, psi_source=())
+    tables, _, _ = transport.build_tables(cfg)
+    traced = jax.jit(
+        lambda T: adjoint.traced_tables(cfg, tables, T=T)
+    )(jnp.asarray(cfg.T))
+    for name in ("B", "dEB", "cor1", "cor2", "cor3", "psi_source",
+                 "rhokap"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(traced, name)),
+            np.asarray(getattr(tables, name)),
+            rtol=1e-13, err_msg=name,
+        )
