@@ -39,7 +39,7 @@ def __getattr__(name):
 
     lazy = {
         "parallel", "plot", "native", "ops", "utils", "data", "cli",
-        "adjoint",
+        "adjoint", "ensemble",
     }
     if name in lazy:
         return importlib.import_module(f".{name}", __name__)
@@ -49,5 +49,5 @@ def __getattr__(name):
 __version__ = "0.1.0"
 
 __all__ = ["Config", "load_config", "constants", "transport", "adjoint",
-           "cli", "data", "native", "ops", "parallel", "plot", "utils",
-           "__version__"]
+           "cli", "data", "ensemble", "native", "ops", "parallel", "plot",
+           "utils", "__version__"]

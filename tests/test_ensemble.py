@@ -1,0 +1,127 @@
+"""Ensemble (vmapped parameter-sweep) solves.
+
+Validates that the batched program is exactly the single-solve program
+per member, that the batch axis shards over a device mesh with no
+value change, and that per-member gradients compose (vmap(grad)).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radiative_transfer_tpu import adjoint, ensemble
+from radiative_transfer_tpu.models import transport
+from test_adjoint import small_cfg, setup
+
+
+def test_ensemble_matches_member_loop():
+    cfg = small_cfg(ts_method=3, use_correction=True)
+    tables, state0 = setup(cfg)
+    rng = np.random.default_rng(1)
+    K = 5
+    kappas = np.asarray(tables.kappa) * rng.uniform(0.5, 2.0, (K, cfg.G))
+
+    final = ensemble.solve_ensemble(
+        cfg, tables, {"kappa": kappas}, num_steps=2, state=state0)
+    assert final.ends.shape == (K, cfg.M, cfg.G, cfg.N, 2)
+
+    solve_fn = adjoint.make_diff_solve(cfg, tables, num_steps=2)
+    for k in range(K):
+        ref = solve_fn({"kappa": jnp.asarray(kappas[k])}, state0)
+        np.testing.assert_allclose(
+            np.asarray(final.ends[k]), np.asarray(ref.ends), rtol=1e-14)
+
+
+def test_ensemble_T_per_member_initial_condition():
+    """A temperature ensemble rebuilds psi = B(T_k) per member."""
+    cfg = small_cfg(ts_method=2, use_mg_equilib=True, psi_source=())
+    tables, _ = setup(cfg)
+    Ts = np.array([0.9, 1.0, 1.1]) * cfg.T
+
+    final = ensemble.solve_ensemble(
+        cfg, tables, {"T": Ts}, num_steps=2, state=None)
+    solve_fn = adjoint.make_diff_solve(cfg, tables, num_steps=2)
+    for k, T in enumerate(Ts):
+        ref = solve_fn({"T": jnp.asarray(T)}, None)
+        np.testing.assert_allclose(
+            np.asarray(final.ends[k]), np.asarray(ref.ends), rtol=1e-14)
+    # Members genuinely differ (the IC and sources moved with T).
+    assert not np.allclose(np.asarray(final.ends[0]),
+                           np.asarray(final.ends[1]))
+
+
+def test_ensemble_sharded_over_mesh_matches_unsharded():
+    cfg = small_cfg(ts_method=1)
+    tables, state0 = setup(cfg)
+    rng = np.random.default_rng(2)
+    K = 8
+    kappas = np.asarray(tables.kappa) * rng.uniform(0.5, 2.0, (K, cfg.G))
+
+    plain = ensemble.solve_ensemble(
+        cfg, tables, {"kappa": kappas}, num_steps=2, state=state0)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("ens",))
+    sharded = ensemble.solve_ensemble(
+        cfg, tables, {"kappa": kappas}, num_steps=2, state=state0,
+        mesh=mesh)
+    # Each member solves wholly on one device; XLA may fuse/round the
+    # partitioned program slightly differently, so tight-f64, not bitwise.
+    np.testing.assert_allclose(
+        np.asarray(plain.ends), np.asarray(sharded.ends),
+        rtol=1e-12, atol=0)
+    # The output really is sharded along the ensemble axis.
+    shard_shapes = {s.data.shape for s in sharded.ends.addressable_shards}
+    assert shard_shapes == {(1, cfg.M, cfg.G, cfg.N, 2)}
+
+
+def test_ensemble_batched_gradients():
+    """vmap(grad): per-member opacity gradients in one program."""
+    cfg = small_cfg(ts_method=2)
+    tables, state0 = setup(cfg)
+    solve_fn = adjoint.make_diff_solve(cfg, tables, num_steps=2)
+    wt = np.asarray(tables.wt)
+
+    def loss(kappa):
+        f = solve_fn({"kappa": kappa}, state0)
+        phi = transport.compute_phi(transport.psi_from_ends(f.ends), wt)
+        return jnp.sum(phi**2)
+
+    rng = np.random.default_rng(3)
+    K = 4
+    kappas = jnp.asarray(
+        np.asarray(tables.kappa) * rng.uniform(0.5, 2.0, (K, cfg.G)))
+    g_batch = jax.vmap(jax.grad(loss))(kappas)
+    for k in range(K):
+        g_one = jax.grad(loss)(kappas[k])
+        np.testing.assert_allclose(
+            np.asarray(g_batch[k]), np.asarray(g_one), rtol=1e-12)
+
+
+def test_ensemble_validation_errors():
+    cfg = small_cfg()
+    tables, state0 = setup(cfg)
+    import pytest
+
+    with pytest.raises(ValueError, match="nothing to batch"):
+        ensemble.solve_ensemble(cfg, tables, {}, num_steps=1, state=state0)
+    with pytest.raises(ValueError, match="disagree on the leading axis"):
+        ensemble.solve_ensemble(
+            cfg, tables,
+            {"kappa": np.ones((3, cfg.G)), "rho": np.ones((4, cfg.G))},
+            num_steps=1, state=state0)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("ens",))
+    with pytest.raises(ValueError, match="divide evenly"):
+        ensemble.solve_ensemble(
+            cfg, tables, {"kappa": np.ones((3, cfg.G))},
+            num_steps=1, state=state0, mesh=mesh)
+
+
+def test_observe_phi_shape():
+    cfg = small_cfg()
+    tables, state0 = setup(cfg)
+    K = 2
+    kappas = np.broadcast_to(np.asarray(tables.kappa), (K, cfg.G))
+    final = ensemble.solve_ensemble(
+        cfg, tables, {"kappa": kappas}, num_steps=1, state=state0)
+    phi = ensemble.observe_phi(cfg, tables, final)
+    assert phi.shape == (K, cfg.G, cfg.N)
