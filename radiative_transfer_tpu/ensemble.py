@@ -20,6 +20,15 @@ many small problems, shard space/groups when you have one big one.
 
 Parameters follow adjoint.traced_tables: any subset of {'kappa',
 'rho', 'psi_source', 'T'}, each stacked along a leading ensemble axis.
+
+Two execution paths:
+
+* :func:`solve_ensemble` — `jax.vmap` over the f64 general solver;
+  differentiable (composes with jax.grad), exact, mesh-shardable.
+* :func:`solve_ensemble_stacked` — folds the ensemble into the fused
+  perf engines' lane batch as a G' = K*G stacked problem
+  (:func:`stack_ensemble`); runs at the compiled Pallas-kernel rate
+  and turns lane-starved small decks into full-utilisation ones.
 """
 
 from __future__ import annotations
@@ -33,6 +42,8 @@ import numpy as np
 from .config.config import Config
 from .models import transport
 from .models.transport import State, Tables
+from .ops import correction as corr_mod
+from .ops.groups import build_group_grid
 from . import adjoint
 
 
@@ -127,3 +138,179 @@ def observe_phi(cfg: Config, tables: Tables, final: State) -> jnp.ndarray:
     return jax.vmap(
         lambda e: transport.compute_phi(transport.psi_from_ends(e), wt)
     )(final.ends)
+
+
+# ---------------------------------------------------------------------------
+# Stacked ensembles: K members through the fused perf engines
+# ---------------------------------------------------------------------------
+
+_STACK_KEYS = frozenset({"kappa", "rho", "psi_source", "T"})
+
+
+def _host_member_tables(cfg: Config, base: Tables, member: dict) -> Tables:
+    """One member's Tables via the HOST numpy chain.
+
+    Reuses ops/correction.build_correction_tables — the exact builder
+    transport.build_tables runs — in pure numpy, so engine setup never
+    touches the accelerator (models/transport.Tables host-numpy rule;
+    the tunnelled TPU backend has no CPU sibling backend to hide eager
+    jnp work on). Unlike adjoint.traced_tables, which linearises the
+    T-dependence around the deck temperature to stay differentiable, a
+    'T' member here gets the full nonlinear Planck-table rebuild —
+    exact at every member temperature."""
+    unknown = set(member) - _STACK_KEYS
+    if unknown:
+        raise ValueError(
+            f"unknown ensemble parameter(s) {sorted(unknown)}; "
+            f"supported: {sorted(_STACK_KEYS)}")
+    G = cfg.G
+
+    def arr(x, shape):
+        return np.ascontiguousarray(
+            np.broadcast_to(np.asarray(x, np.float64), shape))
+
+    kappa = arr(member.get("kappa", base.kappa), (G,))
+    rho = arr(member.get("rho", base.rho), (G,))
+    T = float(member["T"]) if "T" in member else cfg.T
+    grid = build_group_grid(cfg.G, cfg.efirst, cfg.elast,
+                            cfg.group_bounds_array())
+    ct = corr_mod.build_correction_tables(
+        T, rho, kappa, grid.e_edge, grid.e_ave, grid.de_ave, grid.edisc)
+    if "psi_source" in member:
+        psi_source = arr(member["psi_source"], (cfg.M, G))
+    elif cfg.use_mg_equilib and "T" in member:
+        # The equilibrium boundary source is itself Planckian
+        # (solver.cpp:287-315) — rebuild from the member's B/dEB.
+        psi_source = corr_mod.equilibrium_psi_source(
+            ct.B, ct.dEB, np.asarray(base.mu, np.float64), cfg.V)
+    else:
+        psi_source = np.asarray(base.psi_source, np.float64)
+    return base._replace(
+        kappa=kappa, rho=rho, rhokap=rho * kappa, B=ct.B, dEB=ct.dEB,
+        cor1=ct.cor1, cor2=ct.cor2, cor3=ct.cor3, psi_source=psi_source)
+
+
+def stack_ensemble(cfg: Config, tables: Tables, params: dict):
+    """K parameter members -> ONE problem with G' = K*G groups.
+
+    Valid because the compiled engines have no runtime cross-group
+    coupling: every group interaction (Planck emission, the v/c
+    correction's frequency-derivative stencil over group edges) is
+    folded into per-(m, g) coefficient planes at setup
+    (ops/fast_sweep.build_kind_coeffs), so K independent members stacked
+    along the group axis solve EXACTLY their K separate problems — on
+    the fused Pallas kernels, at full lane utilisation. The per-member
+    correction chain is built at each member's own G before stacking,
+    so no cross-member stencil leakage is possible by construction.
+
+    Returns ``(cfg_s, tables_s, K)``; stacked group index g' = k*G + g.
+    """
+    if not params:
+        raise ValueError("empty params: nothing to batch over")
+    K = _batch_size(params)
+    G, M = cfg.G, cfg.M
+    members = [
+        _host_member_tables(
+            cfg, tables, {k: np.asarray(v)[i] for k, v in params.items()})
+        for i in range(K)
+    ]
+
+    def cat(name, shape, axis):
+        parts = [
+            np.broadcast_to(np.asarray(getattr(m, name), np.float64), shape)
+            for m in members
+        ]
+        return np.ascontiguousarray(np.concatenate(parts, axis=axis))
+
+    e_edge = np.asarray(tables.e_edge, np.float64)
+    tables_s = tables._replace(
+        rhokap=cat("rhokap", (G,), 0), rho=cat("rho", (G,), 0),
+        kappa=cat("kappa", (G,), 0), B=cat("B", (G,), 0),
+        dEB=cat("dEB", (G,), 0),
+        cor1=cat("cor1", (G,), 0), cor2=cat("cor2", (G,), 0),
+        cor3=cat("cor3", (G,), 0),
+        psi_source=cat("psi_source", (M, G), 1),
+        # Shape-consistent placeholders: the engines never read the
+        # energy grid (its effect is baked into the leaves above).
+        e_edge=np.concatenate([np.tile(e_edge[:-1], K), e_edge[-1:]]),
+        e_ave=np.tile(np.asarray(tables.e_ave, np.float64), K),
+        de_ave=np.tile(np.asarray(tables.de_ave, np.float64), K),
+    )
+    cfg_s = cfg.replace(
+        G=K * G, have_group_bounds=False, group_bounds=(),
+        have_group_absorption_opacities=False, group_kappa=(),
+        psi_source=(),
+    )
+    return cfg_s, tables_s, K
+
+
+def _unstack(arr, K: int, cfg: Config) -> jnp.ndarray:
+    """(M, K*G, N, 2) stacked ends -> (K, M, G, N, 2) member-major."""
+    a = jnp.asarray(arr).reshape(cfg.M, K, cfg.G, cfg.N, 2)
+    return jnp.moveaxis(a, 1, 0)
+
+
+def solve_ensemble_stacked(
+    cfg: Config,
+    tables: Tables,
+    params: dict,
+    num_steps: Optional[int] = None,
+    state: Optional[State] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    engine: str = "auto",
+    **engine_kw,
+) -> State:
+    """Run the ensemble as ONE stacked problem on the compiled perf
+    engines — the high-throughput sibling of :func:`solve_ensemble`.
+
+    Where solve_ensemble vmaps the f64 general solver (differentiable,
+    exact), this folds the ensemble into the engines' lane batch
+    (Bh' = K * M/2 * G) via :func:`stack_ensemble`: small decks that
+    underfill the VPU at Bh < 8 reach the fused-kernel rate once K
+    members stack, and engine/mesh semantics are exactly
+    parallel.make_multichip_engine's (a mesh 'g' axis shards members
+    across chips with zero cross-member communication).
+
+    ``state``: one shared initial State broadcast to every member
+    (None -> each member's own equilibrium IC psi = B_k, which is the
+    correct per-member condition for 'T' ensembles). 'T' members get
+    the full nonlinear per-member table rebuild — exact at every
+    temperature, where the vmap path's traced tables are linearised
+    around the deck T (exact there only). Returns a State
+    whose leaves carry a leading (K,) member axis, at engine precision
+    (float32 fused kernels; pass engine='fast', dtype=jnp.float64 for
+    the f64 XLA engine).
+    """
+    cfg_s, tables_s, K = stack_ensemble(cfg, tables, params)
+    if mesh is None and engine == "fast":
+        # make_multichip_engine's 'fast' is the sharded wrapper and
+        # needs a real mesh; mesh-less f64 runs want the plain engine.
+        from .ops.fast_sweep import FastEngine
+
+        eng = FastEngine(cfg_s, tables_s, **engine_kw)
+    else:
+        from .parallel import make_multichip_engine
+
+        eng = make_multichip_engine(cfg_s, tables_s, mesh, engine=engine,
+                                    **engine_kw)
+    if state is None:
+        st = eng.init_state()
+    else:
+        def tile(a):
+            return np.tile(np.asarray(a, np.float64), (1, K, 1, 1))
+
+        st = eng.from_ends(tile(state.ends), tile(state.prev_ends),
+                           tile(state.half_ends))
+    st = eng.solve(st, num_steps=num_steps)
+    if hasattr(eng, "prev_half_ends"):
+        prev, half = eng.prev_half_ends(st)
+        ends = eng.ends(st)
+    else:
+        ends = eng.ends_pair(st.e0, st.e1)
+        prev = eng.ends_pair(st.p0, st.p1)
+        half = eng.ends_pair(st.h0, st.h1)
+    return State(
+        ends=_unstack(ends, K, cfg),
+        prev_ends=_unstack(prev, K, cfg),
+        half_ends=_unstack(half, K, cfg),
+    )

@@ -116,6 +116,95 @@ def test_ensemble_validation_errors():
             num_steps=1, state=state0, mesh=mesh)
 
 
+def test_stacked_fast_f64_matches_vmap_general():
+    """The stacked G'=K*G problem on the f64 tiled engine reproduces the
+    vmapped general solver member-for-member to roundoff — the
+    no-runtime-group-coupling argument of ensemble.stack_ensemble,
+    verified end-to-end (BDF2 + v/c correction, shared initial state)."""
+    cfg = small_cfg(ts_method=3, use_correction=True)
+    tables, state0 = setup(cfg)
+    rng = np.random.default_rng(5)
+    K = 3
+    kappas = np.asarray(tables.kappa) * rng.uniform(0.5, 2.0, (K, cfg.G))
+
+    ref = ensemble.solve_ensemble(
+        cfg, tables, {"kappa": kappas}, num_steps=3, state=state0)
+    got = ensemble.solve_ensemble_stacked(
+        cfg, tables, {"kappa": kappas}, num_steps=3, state=state0,
+        engine="fast", dtype=jnp.float64)
+    for name in ("ends", "prev_ends", "half_ends"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+            rtol=1e-12, atol=1e-13)
+
+
+def test_stacked_pallas_matches_vmap_general():
+    """The stacked problem through the fused Pallas kernel (interpret on
+    CPU; the same kernel Mosaic-compiles on the chip) at the f32 drift
+    bar."""
+    cfg = small_cfg(ts_method=3, use_correction=True)
+    tables, state0 = setup(cfg)
+    rng = np.random.default_rng(6)
+    K = 4
+    kappas = np.asarray(tables.kappa) * rng.uniform(0.5, 2.0, (K, cfg.G))
+
+    ref = ensemble.solve_ensemble(
+        cfg, tables, {"kappa": kappas}, num_steps=3, state=state0)
+    got = ensemble.solve_ensemble_stacked(
+        cfg, tables, {"kappa": kappas}, num_steps=3, state=state0,
+        engine="single")
+    scale = np.max(np.abs(np.asarray(ref.ends)))
+    np.testing.assert_allclose(
+        np.asarray(got.ends), np.asarray(ref.ends),
+        rtol=0, atol=5e-5 * scale)
+
+
+def test_stacked_T_ensemble_exact_nonlinear_rebuild():
+    """state=None gives each member its own psi = B(T_k) equilibrium IC,
+    and the stacked path does the FULL nonlinear per-member table rebuild
+    — member k must equal a from-scratch build_tables at T_k exactly
+    (unlike the vmap/adjoint path, which linearises around the deck T)."""
+    cfg = small_cfg(ts_method=2, use_mg_equilib=True, psi_source=())
+    tables, _ = setup(cfg)
+    Ts = np.array([0.8, 1.0, 1.25]) * cfg.T
+
+    got = ensemble.solve_ensemble_stacked(
+        cfg, tables, {"T": Ts}, num_steps=2, state=None,
+        engine="fast", dtype=jnp.float64)
+    for k, T in enumerate(Ts):
+        cfg_k = cfg.replace(T=float(T))
+        tab_k, _, _ = transport.build_tables(cfg_k)
+        st_k = transport.initial_state(cfg_k, tab_k)
+        ref_k = transport.solve(cfg_k, tab_k, st_k, num_steps=2)
+        np.testing.assert_allclose(
+            np.asarray(got.ends[k]), np.asarray(ref_k.ends),
+            rtol=1e-12, atol=1e-13)
+    assert not np.allclose(np.asarray(got.ends[0]), np.asarray(got.ends[1]))
+
+
+def test_stacked_members_shard_over_group_mesh():
+    """A 'g'-axis mesh shards stacked members across devices (zero
+    cross-member collectives) with no value change vs the meshless run."""
+    from radiative_transfer_tpu.parallel.sharded_fast import make_mesh_2d
+
+    cfg = small_cfg(ts_method=1)
+    tables, state0 = setup(cfg)
+    rng = np.random.default_rng(7)
+    K = 8
+    kappas = np.asarray(tables.kappa) * rng.uniform(0.5, 2.0, (K, cfg.G))
+
+    plain = ensemble.solve_ensemble_stacked(
+        cfg, tables, {"kappa": kappas}, num_steps=2, state=state0,
+        engine="fast", dtype=jnp.float64)
+    mesh = make_mesh_2d(8, 1)
+    sharded = ensemble.solve_ensemble_stacked(
+        cfg, tables, {"kappa": kappas}, num_steps=2, state=state0,
+        mesh=mesh, engine="fast", dtype=jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(plain.ends), np.asarray(sharded.ends),
+        rtol=1e-12, atol=0)
+
+
 def test_observe_phi_shape():
     cfg = small_cfg()
     tables, state0 = setup(cfg)
