@@ -297,7 +297,9 @@ def solve_ensemble_stacked(
         st = eng.init_state()
     else:
         def tile(a):
-            return np.tile(np.asarray(a, np.float64), (1, K, 1, 1))
+            # jnp, not np: a device-resident State must never round-trip
+            # through the host (tunnel D2H penalty, Tables docstring).
+            return jnp.tile(jnp.asarray(a), (1, K, 1, 1))
 
         st = eng.from_ends(tile(state.ends), tile(state.prev_ends),
                            tile(state.half_ends))

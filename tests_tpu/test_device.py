@@ -130,3 +130,27 @@ def test_equilibrium_preserved_on_chip():
     psi = transport.psi_from_ends(jnp.asarray(eng.ends(st), jnp.float64))
     F = transport.compute_F(psi, tables.mu, tables.wt)
     assert float(jnp.max(jnp.abs(F))) < 1e-4  # f32 engine; f64 bar is 1e-9
+
+
+def test_stacked_ensemble_on_chip():
+    """ensemble.solve_ensemble_stacked through the real Mosaic-compiled
+    fused kernel: K kappa members as one G'=K*G problem, each member
+    matching its own single-problem FastEngine solve at f32 tolerance."""
+    from radiative_transfer_tpu import ensemble
+
+    cfg = _cfg(M=4, G=2, N=4096, steps=8)
+    tables, _, _ = transport.build_tables(cfg)
+    rng = np.random.default_rng(9)
+    K = 4
+    kappas = np.asarray(tables.kappa) * rng.uniform(0.5, 2.0, (K, cfg.G))
+
+    got = ensemble.solve_ensemble_stacked(
+        cfg, tables, {"kappa": kappas}, num_steps=cfg.max_timesteps,
+        engine="single")
+    assert got.ends.shape == (K, cfg.M, cfg.G, cfg.N, 2)
+    for k in range(K):
+        tab_k = ensemble._host_member_tables(
+            cfg, tables, {"kappa": kappas[k]})
+        feng = FastEngine(cfg, tab_k, dtype=jnp.float32)
+        ref = feng.ends(feng.solve(num_steps=cfg.max_timesteps))
+        assert _relerr(got.ends[k], ref) < 1e-5
