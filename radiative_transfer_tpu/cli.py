@@ -182,6 +182,14 @@ def main(argv=None) -> int:
                          "group factor for --engine general, M*G/2 "
                          "divisible for --engine fast); 1xN is a pure "
                          "spatial decomposition")
+    ap.add_argument("--ensemble-kappa", default=None, metavar="FILE",
+                    help="opacity ensemble: FILE has K rows x G columns "
+                         "(whitespace-separated, # comments); all K "
+                         "members run in ONE stacked program "
+                         "(ensemble.solve_ensemble_stacked; --engine "
+                         "general uses the vmapped f64 solver) and each "
+                         "member writes its 8-CSV set to "
+                         "OUTDIR/member_NNN/")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -196,6 +204,20 @@ def main(argv=None) -> int:
     if args.balance_every and args.checkpoint_dir:
         ap.error("--balance-every and --checkpoint-dir both chunk the "
                  "solve loop; pick one")
+    if args.ensemble_kappa:
+        # Loud refusal over silent no-op (driver flag-hygiene contract,
+        # tests/test_cli_flags.py).
+        for val, name in ((args.checkpoint_dir, "--checkpoint-dir"),
+                          (args.balance_every, "--balance-every"),
+                          (args.mesh, "--mesh"),
+                          (args.check, "--check")):
+            if val:
+                ap.error(f"--ensemble-kappa does not support {name} "
+                         "(use the library API ensemble.solve_ensemble"
+                         "_stacked for meshes/custom loops)")
+        if args.engine == "halo":
+            ap.error("--ensemble-kappa supports --engine "
+                     "general/fast/pallas/auto")
 
     # Multi-process wiring must precede any backend touch; doing it here
     # (not in _run_sharded) also lets every console/file write below gate
@@ -231,6 +253,9 @@ def main(argv=None) -> int:
         print(diagnostics.full_report(cfg, tbls, grid_, ct_))
         for p in diagnostics.write_tables_csv(args.outdir, cfg, tbls, grid_, ct_):
             print(f"wrote {p}")
+
+    if args.ensemble_kappa:
+        return _run_ensemble(args, cfg, dtype, is_p0)
 
     from .utils.profiling import trace as profiler_trace
 
@@ -288,6 +313,73 @@ def main(argv=None) -> int:
             }, f, indent=1)
             f.write("\n")
         print(f"wrote metrics to {args.metrics_json}")
+    return 0
+
+
+def _run_ensemble(args, cfg, dtype, is_p0) -> int:
+    """--ensemble-kappa: K opacity members in ONE compiled program.
+
+    The K-row table becomes a {'kappa': (K, G)} ensemble; the stacked
+    path (ensemble.solve_ensemble_stacked) folds all members into the
+    perf engines' lane batch (--engine general runs the vmapped f64
+    solver instead). Each member writes the full reference 8-CSV output
+    set (src/main.cc:117-133) to OUTDIR/member_NNN/ plus a one-line
+    balance summary — the per-deck loop a reference user would shell-
+    script, in one launch."""
+    import jax.numpy as jnp
+
+    from . import ensemble
+    from .models import transport
+    from .utils import io as io_mod
+    from .utils.profiling import updates_per_step
+
+    try:
+        kappas = np.loadtxt(args.ensemble_kappa, ndmin=2, dtype=np.float64)
+    except OSError as e:
+        print(f"cannot read --ensemble-kappa table: {e}", file=sys.stderr)
+        return 2
+    if kappas.shape[1] != cfg.G:
+        print(f"--ensemble-kappa needs G={cfg.G} columns per row, got "
+              f"{kappas.shape[1]}", file=sys.stderr)
+        return 2
+    K = kappas.shape[0]
+    params = {"kappa": kappas}
+
+    tables, _, ct = transport.build_tables(cfg, dtype=jnp.float64)
+    if cfg.include_validation:
+        assert transport.validate_tables(cfg, ct), "Invalid Correction Terms"
+
+    t0 = time.perf_counter()
+    if args.engine == "general":
+        final = ensemble.solve_ensemble(cfg, tables, params)
+    else:
+        eng_name = {"auto": "auto", "pallas": "single", "fast": "fast"}
+        kw = ({"dtype": dtype} if args.engine == "fast"
+              else {"scan_tol": args.scan_tol})
+        final = ensemble.solve_ensemble_stacked(
+            cfg, tables, params, engine=eng_name[args.engine], **kw)
+    ends = np.asarray(jnp.asarray(final.ends, jnp.float64))
+    wall = time.perf_counter() - t0
+
+    if not is_p0:
+        return 0
+    if args.profile:
+        ups = updates_per_step(cfg) * cfg.max_timesteps * K
+        print(f"wall: {wall:.3f} s for {K} members x {cfg.max_timesteps} "
+              f"steps ({ups / wall / 1e6:.1f} M updates/s aggregate)")
+    x = (np.arange(cfg.N) + 0.5) * cfg.dx
+    e_ave = np.asarray(tables.e_ave)
+    for k in range(K):
+        tab_k = ensemble._host_member_tables(
+            cfg, tables, {"kappa": kappas[k]})
+        res = transport.result_from_ends(cfg, tab_k, ends[k])
+        sub = os.path.join(args.outdir, f"member_{k:03d}")
+        io_mod.write_solution_csvs(sub, res, x, e_ave)
+        bal = np.asarray(res.balance)
+        print(f"member {k:3d}: balance max {bal.max():.3e} "
+              f"mean {bal.mean():.3e} -> {sub}")
+    print(f"wrote {K} member output sets under "
+          f"{os.path.abspath(args.outdir)}")
     return 0
 
 

@@ -78,3 +78,67 @@ def test_balance_every_matches_plain_run(tmp_path):
                          "--dtype", "float32", "--balance-every", "1"]) == 0
     for f in ("phi.csv", "F.csv", "psi.csv"):
         np.testing.assert_array_equal(np.loadtxt(a / f), np.loadtxt(b / f))
+
+
+def _ensemble_table(tmp_path, K=3, G=1):
+    rows = np.linspace(0.5, 2.0, K * G).reshape(K, G)
+    path = os.path.join(tmp_path, "kappas.txt")
+    np.savetxt(path, rows)
+    return path, rows
+
+
+@pytest.mark.parametrize("engine", ["general", "auto", "fast", "pallas"])
+def test_ensemble_kappa_writes_member_sets(tmp_path, engine):
+    """--ensemble-kappa runs every member in one program and writes one
+    8-CSV set per member; each member matches its own single-deck run
+    (the shell-script sweep a reference user would do, in one launch)."""
+    deck = _deck(str(tmp_path), steps=3)
+    table, rows = _ensemble_table(str(tmp_path))
+    out = os.path.join(str(tmp_path), "ens")
+    extra = ["--dtype", "float32"] if engine in ("auto", "pallas") else []
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main([deck, "--outdir", out, "--engine", engine,
+                       "--ensemble-kappa", table, *extra])
+    text = buf.getvalue()
+    assert rc == 0, text[-2000:]
+    assert f"wrote {len(rows)} member output sets" in text
+    for k, kap in enumerate(rows):
+        sub = os.path.join(out, f"member_{k:03d}")
+        assert os.path.exists(os.path.join(sub, "phi.csv")), text[-2000:]
+        # member k == a plain run of the same deck with kappa_grey=k
+        deck_k = _deck(str(tmp_path), steps=3)
+        txt = open(deck_k).read().replace(
+            "kappa_grey=1", f"kappa_grey={float(kap[0])!r}")
+        open(deck_k, "w").write(txt)
+        single = os.path.join(str(tmp_path), f"single{k}")
+        with redirect_stdout(io.StringIO()):
+            assert cli.main([deck_k, "--outdir", single, "--engine",
+                             engine, *extra]) == 0
+        a = np.loadtxt(os.path.join(single, "phi.csv"))
+        b = np.loadtxt(os.path.join(sub, "phi.csv"))
+        tol = 1e-12 if engine in ("general", "fast") else 5e-5
+        np.testing.assert_allclose(b, a, rtol=0,
+                                   atol=tol * np.max(np.abs(a)))
+
+
+def test_ensemble_kappa_refusals(tmp_path):
+    """Unsupported combinations refuse loudly (no silent no-ops)."""
+    deck = _deck(str(tmp_path), steps=2)
+    table, _ = _ensemble_table(str(tmp_path))
+    base = [deck, "--outdir", str(tmp_path), "--ensemble-kappa", table]
+    for bad in (["--checkpoint-dir", str(tmp_path)],
+                ["--balance-every", "1"],
+                ["--mesh", "1x2"],
+                ["--check"],
+                ["--engine", "halo"]):
+        with pytest.raises(SystemExit) as e:
+            cli.main(base + bad)
+        assert e.value.code == 2
+
+    # Wrong column count: clear error, nonzero exit.
+    badtab = os.path.join(str(tmp_path), "bad.txt")
+    np.savetxt(badtab, np.ones((2, 3)))
+    rc = cli.main([deck, "--outdir", str(tmp_path),
+                   "--ensemble-kappa", badtab])
+    assert rc == 2
