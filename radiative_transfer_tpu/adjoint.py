@@ -288,6 +288,88 @@ def make_diff_solve(
     return solve_fn
 
 
+def make_diff_solve_fast(
+    cfg: Config,
+    tables: Tables,
+    num_steps: Optional[int] = None,
+    remat: bool = True,
+    chunk: int = 256,
+    unroll: int = 4,
+):
+    """Differentiable solve at the tiled fast-engine rate.
+
+    Same contract as :func:`make_diff_solve` (``solve_fn(params, state)
+    -> State`` in global (M, G, N, 2) layout, exact discrete adjoint via
+    ``jax.grad``), but the forward program is
+    ops/fast_sweep.FastEngine's fused constant-coefficient scan instead
+    of the readable general path: the per-group parameter dependence is
+    carried into the engine's coefficient planes by
+    build_kind_coeffs_traced and into the boundary planes by the traced
+    psi_source, so gradients flow through the SAME algebra the
+    production engine runs. float64 throughout (gradient fidelity);
+    forward and gradient values match make_diff_solve to roundoff
+    (tests/test_adjoint.py::test_fast_diff_solve_*)."""
+    from .ops import fast_sweep as fs
+
+    n = cfg.max_timesteps if num_steps is None else num_steps
+    eng = fs.FastEngine(cfg, tables, dtype=jnp.float64, chunk=chunk,
+                        unroll=unroll)
+    Mh, G = cfg.M // 2, cfg.G
+    if cfg.ts_method == 1:
+        kinds = {fs.BE: cfg.dt}
+    elif cfg.ts_method == 2:
+        kinds = {fs.CN: cfg.dt}
+    else:
+        half = cfg.dt / 2.0
+        kinds = {fs.BE: half, fs.CN: half, fs.BDF: half}
+
+    def solve_fn(params: dict, state: Optional[State]) -> State:
+        unknown = set(params) - set(_PARAM_KEYS)
+        if unknown:
+            raise ValueError(
+                f"unknown differentiable parameters {sorted(unknown)}; "
+                f"supported: {_PARAM_KEYS}"
+            )
+        t = traced_tables(cfg, tables, **params)
+        kcs = {k: fs.build_kind_coeffs_traced(cfg, t, k, ts)
+               for k, ts in kinds.items()}
+        # Traced boundary value planes, mirroring FastEngine.__init__
+        # (incl. the left-vacuum fallthrough-to-source quirk,
+        # solver.cpp:667-671); the reflective/fixed STRUCTURE is static.
+        psi_plane = fs._to_plane(
+            jnp.asarray(t.psi_source, jnp.float64), Mh, G)
+        bc_neg = (psi_plane[0] if cfg.bc_right_indicator == 1
+                  else jnp.zeros(Mh * G))
+        bc_pos = None if cfg.bc_left_indicator == 2 else psi_plane[1]
+
+        if state is None:
+            # psi = ends = B_g (solver.cpp:165-181) from the traced B, so
+            # dT gradients include the initial condition.
+            Bg = jnp.broadcast_to(
+                jnp.asarray(t.B, jnp.float64)[None, :], (Mh, G)
+            ).reshape(Mh * G)
+            plane = jnp.broadcast_to(
+                Bg[None, None, :, None], (eng.chunk, 2, Mh * G, eng.nc))
+            st = fs.FlatState(plane, plane, plane, plane, plane, plane)
+        else:
+            st = eng.from_ends(state.ends, state.prev_ends,
+                               state.half_ends)
+
+        def body(s, _):
+            return eng.step(s, kcs=kcs, bc=(bc_neg, bc_pos)), None
+
+        if remat:
+            body = jax.checkpoint(body)
+        st, _ = lax.scan(body, st, None, length=n)
+        return State(
+            ends=eng.ends(st),
+            prev_ends=eng.ends_pair(st.p0, st.p1),
+            half_ends=eng.ends_pair(st.h0, st.h1),
+        )
+
+    return solve_fn
+
+
 def fit_params(
     cfg: Config,
     tables: Tables,
@@ -298,6 +380,7 @@ def fit_params(
     learning_rate: float = 1e-2,
     iterations: int = 100,
     optimizer=None,
+    solver: str = "general",
 ):
     """Gradient-descent parameter estimation (the inverse-problem driver).
 
@@ -305,6 +388,9 @@ def fit_params(
     leaves with optax (Adam by default). Returns (params, loss_history).
     The whole update step — forward solve, adjoint, optimizer — is one
     jitted program; iterations stream on-device.
+    ``solver='fast'`` differentiates through the tiled fast engine
+    (make_diff_solve_fast) — same gradients to roundoff, much faster
+    forward/backward at production sizes.
 
     To iterate on 'T' (whose trace is linearised at the deck value),
     re-center between calls: run a few iterations, rebuild tables at
@@ -315,7 +401,10 @@ def fit_params(
     import optax
 
     opt = optax.adam(learning_rate) if optimizer is None else optimizer
-    solve_fn = make_diff_solve(cfg, tables, num_steps=num_steps)
+    make = {"general": make_diff_solve, "fast": make_diff_solve_fast}
+    if solver not in make:
+        raise ValueError(f"unknown solver {solver!r} (general/fast)")
+    solve_fn = make[solver](cfg, tables, num_steps=num_steps)
 
     def loss_fn(params):
         return loss_of_state(solve_fn(params, state0), params)

@@ -113,22 +113,17 @@ def _shift1_tiled(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([row0, x[:-1]], axis=0)
 
 
-def build_kind_coeffs(
-    cfg: Config, tables, kind: int, ts: float, dtype
-) -> KindCoeffs:
-    """Host-side build of the constant coefficient planes for one sub-step
-    kind (coefficient algebra identical to ops/sweep.build_coeffs, i.e. to
-    reference solver.cpp:319-587)."""
-    Mh, G = cfg.M // 2, cfg.G
-    mu = np.asarray(tables.mu, dtype=np.float64)          # (M,) ascending
-    rhokap = np.asarray(tables.rhokap, dtype=np.float64)  # (G,)
-    B = np.asarray(tables.B, dtype=np.float64)
-    cor1 = np.asarray(tables.cor1, dtype=np.float64)
-    cor2 = np.asarray(tables.cor2, dtype=np.float64)
-    cor3 = np.asarray(tables.cor3, dtype=np.float64)
-
+def _kind_coeff_fields(cfg: Config, kind: int, ts: float, mu, rk,
+                       B, cor1, cor2, cor3) -> dict:
+    """The coefficient algebra shared by the host and traced builds
+    (identical to ops/sweep.build_coeffs, i.e. reference
+    solver.cpp:319-587). ``mu`` is always host numpy (the quadrature is
+    never a differentiable parameter); ``rk``/``B``/``cor*`` may be jnp
+    tracers — every op below broadcasts np with tracers transparently,
+    and the np-only constructors (zeros_like/full_like) are applied only
+    to the always-host ``w``."""
+    G = cfg.G
     absmu = np.abs(mu)[:, None] * np.ones((1, G))         # (M, G)
-    rk = rhokap[None, :] * np.ones((cfg.M, 1))            # (M, G)
     dx = cfg.dx
 
     if kind == BE:
@@ -168,20 +163,78 @@ def build_kind_coeffs(
         c1 = np.zeros((cfg.M, G))
         c0 = np.zeros((cfg.M, G))
 
+    return dict(w=w, T0=T0, q=q, inv_det=1.0 / det, a=a, s=s,
+                Sbase=Sbase, c1=c1, c0=c0, k_ee=k_ee, k_p=k_p)
+
+
+def _fields_to_coeffs(fields: dict, ts: float, plane) -> KindCoeffs:
+    return KindCoeffs(
+        w=plane(fields["w"]), T0=plane(fields["T0"]), q=plane(fields["q"]),
+        inv_det=plane(fields["inv_det"]), a=plane(fields["a"]),
+        s=float(fields["s"]), Sbase=plane(fields["Sbase"]),
+        c1=plane(fields["c1"]), c0=plane(fields["c0"]),
+        k_ee=plane(fields["k_ee"]), k_p=plane(fields["k_p"]), ts=float(ts),
+    )
+
+
+def build_kind_coeffs(
+    cfg: Config, tables, kind: int, ts: float, dtype
+) -> KindCoeffs:
+    """Host-side build of the constant coefficient planes for one sub-step
+    kind."""
+    Mh, G = cfg.M // 2, cfg.G
+    mu = np.asarray(tables.mu, dtype=np.float64)          # (M,) ascending
+    rhokap = np.asarray(tables.rhokap, dtype=np.float64)  # (G,)
+    rk = rhokap[None, :] * np.ones((cfg.M, 1))            # (M, G)
+    fields = _kind_coeff_fields(
+        cfg, kind, ts, mu, rk,
+        np.asarray(tables.B, dtype=np.float64),
+        np.asarray(tables.cor1, dtype=np.float64),
+        np.asarray(tables.cor2, dtype=np.float64),
+        np.asarray(tables.cor3, dtype=np.float64),
+    )
+
     def plane(x):
         # Host numpy, not device: these (1, 2, Bh, 1) constants are closed
         # over by jitted step functions — a captured device array would be
         # fetched (D2H) at lowering, which poisons the axon tunnel's
         # dispatch latency (see models/transport.Tables docstring).
         return np.asarray(
-            _to_plane(x, Mh, G)[None, :, :, None], dtype=np.dtype(dtype)
+            _to_plane(np.broadcast_to(np.asarray(x, np.float64),
+                                      (cfg.M, G)), Mh, G)[None, :, :, None],
+            dtype=np.dtype(dtype),
         )
 
-    return KindCoeffs(
-        w=plane(w), T0=plane(T0), q=plane(q), inv_det=plane(1.0 / det),
-        a=plane(a), s=float(s), Sbase=plane(Sbase), c1=plane(c1),
-        c0=plane(c0), k_ee=plane(k_ee), k_p=plane(k_p), ts=float(ts),
+    return _fields_to_coeffs(fields, ts, plane)
+
+
+def build_kind_coeffs_traced(
+    cfg: Config, tables, kind: int, ts: float, dtype=jnp.float64
+) -> KindCoeffs:
+    """Traced (differentiable) twin of build_kind_coeffs: same algebra
+    (_kind_coeff_fields), but the per-group leaves of ``tables`` may be
+    jnp tracers (adjoint.traced_tables output), so the returned planes
+    carry the parameter dependence through the engine's step algebra.
+    Only for use INSIDE a traced function (adjoint.make_diff_solve_fast)
+    — the host-numpy closure rule of build_kind_coeffs does not apply to
+    jit arguments."""
+    Mh, G = cfg.M // 2, cfg.G
+    mu = np.asarray(tables.mu, dtype=np.float64)
+    rk = jnp.asarray(tables.rhokap, jnp.float64)[None, :] \
+        * np.ones((cfg.M, 1))
+    fields = _kind_coeff_fields(
+        cfg, kind, ts, mu, rk,
+        jnp.asarray(tables.B, jnp.float64),
+        jnp.asarray(tables.cor1, jnp.float64),
+        jnp.asarray(tables.cor2, jnp.float64),
+        jnp.asarray(tables.cor3, jnp.float64),
     )
+
+    def plane(x):
+        x = jnp.broadcast_to(jnp.asarray(x, jnp.float64), (cfg.M, G))
+        return jnp.asarray(_to_plane(x, Mh, G)[None, :, :, None], dtype)
+
+    return _fields_to_coeffs(fields, ts, plane)
 
 
 def _refl_flip_indices(Mh: int, G: int) -> np.ndarray:
@@ -384,17 +437,24 @@ class FastEngine:
         )
         return pb, pow_t, EXa, EXb, a_powN, tot_b
 
-    def inflow(self, kind: int, a_powN: jnp.ndarray, tot_b: jnp.ndarray):
+    def inflow(self, kind: int, a_powN: jnp.ndarray, tot_b: jnp.ndarray,
+               kc=None, bc=None):
         """Effective inflow per half given the GLOBAL total composite. The
         mu>0 reflective inflow is the mu<0 half's outflow = its composite
-        applied to its own inflow (solver.cpp:679-683)."""
-        kc = self.kcs[kind]
-        init_neg = kc.s * self.bc_neg                      # (Bh,)
+        applied to its own inflow (solver.cpp:679-683). `bc` overrides the
+        (bc_neg, bc_pos_fixed) value planes (the differentiable path
+        passes traced boundary sources); the reflective-vs-fixed STRUCTURE
+        stays the engine's (it is a static cfg property)."""
+        if kc is None:
+            kc = self.kcs[kind]
+        bc_neg, bc_pos_fixed = (self.bc_neg, self.bc_pos_fixed) \
+            if bc is None else bc
+        init_neg = kc.s * bc_neg                           # (Bh,)
         if self.bc_pos_fixed is None:
             out_neg = a_powN[0, :, 0] * init_neg + tot_b[0, :, 0]
             bc_pos = out_neg[self.refl_flip]
         else:
-            bc_pos = self.bc_pos_fixed
+            bc_pos = bc_pos_fixed
         return jnp.stack([init_neg, kc.s * bc_pos], axis=0)[..., None]
 
     def finish(self, kind: int, r0, r1, pb, pow_t, EXa, EXb, incoming,
@@ -418,29 +478,41 @@ class FastEngine:
         ne1 = (kc.q * u + kc.T0 * r1) * kc.inv_det
         return ne0, ne1
 
-    def substep(self, kind: int, st: FlatState) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        r0, r1, b = self.rhs(kind, st)
-        pb, pow_t, EXa, EXb, a_powN, tot_b = self.local_scan(kind, b)
-        incoming = self.inflow(kind, a_powN, tot_b)
-        return self.finish(kind, r0, r1, pb, pow_t, EXa, EXb, incoming)
+    def substep(self, kind: int, st: FlatState, kc=None,
+                bc=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        r0, r1, b = self.rhs(kind, st, kc=kc)
+        pb, pow_t, EXa, EXb, a_powN, tot_b = self.local_scan(kind, b, kc=kc)
+        incoming = self.inflow(kind, a_powN, tot_b, kc=kc, bc=bc)
+        return self.finish(kind, r0, r1, pb, pow_t, EXa, EXb, incoming,
+                           kc=kc)
 
     # -- full steps -------------------------------------------------------------
 
-    def step(self, st: FlatState) -> FlatState:
+    def step(self, st: FlatState, kcs=None, bc=None) -> FlatState:
+        """One full timestep. `kcs`/`bc` override the coefficient dict and
+        boundary planes (None -> the engine's host constants); the
+        differentiable path (adjoint.make_diff_solve_fast) passes traced
+        ones so parameter gradients flow through the same algebra."""
         cfg = self.cfg
+
+        def sub(kind, s):
+            return self.substep(kind, s,
+                                kc=None if kcs is None else kcs[kind],
+                                bc=bc)
+
         if cfg.ts_method == 1:
-            ne0, ne1 = self.substep(BE, st)
+            ne0, ne1 = sub(BE, st)
             return FlatState(ne0, ne1, st.e0, st.e1, st.h0, st.h1)
         if cfg.ts_method == 2:
             st1 = FlatState(st.e0, st.e1, st.e0, st.e1, st.h0, st.h1)
-            ne0, ne1 = self.substep(CN, st1)
+            ne0, ne1 = sub(CN, st1)
             return FlatState(ne0, ne1, st.e0, st.e1, st.h0, st.h1)
         # BDF2 4-phase cycle (solver.cpp:594-598, 620-625, 700-811).
         p0, p1 = st.e0, st.e1                      # commit prev
         s1 = FlatState(st.e0, st.e1, p0, p1, st.h0, st.h1)
-        b0, b1 = self.substep(BE, s1)              # phase-0 predictor
+        b0, b1 = sub(BE, s1)                       # phase-0 predictor
         s2 = FlatState(b0, b1, p0, p1, st.h0, st.h1)
-        e0, e1 = self.substep(CN, s2)
+        e0, e1 = sub(CN, s2)
         # Snapshot half: plane axis 1 is [mu<0, mu>0]; the mu>0 half keeps
         # the phase-0 BE output (reference quirk — the half_ends copy sits
         # only in the mu<0 branch, solver.cpp:733 vs 784-787) unless the
@@ -451,9 +523,9 @@ class FastEngine:
             h0 = jnp.concatenate([e0[:, :1], b0[:, 1:]], axis=1)
             h1 = jnp.concatenate([e1[:, :1], b1[:, 1:]], axis=1)
         s3 = FlatState(e0, e1, p0, p1, h0, h1)
-        e0, e1 = self.substep(BE, s3)
+        e0, e1 = sub(BE, s3)
         s4 = FlatState(e0, e1, p0, p1, h0, h1)
-        e0, e1 = self.substep(BDF, s4)
+        e0, e1 = sub(BDF, s4)
         return FlatState(e0, e1, p0, p1, h0, h1)
 
     def solve(self, state: Optional[FlatState] = None,

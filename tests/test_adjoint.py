@@ -303,3 +303,95 @@ def test_traced_tables_T_identity_at_deck_value():
             np.asarray(getattr(tables, name)),
             rtol=1e-13, err_msg=name,
         )
+
+
+# ---------------------------------------------------------------------------
+# 4. Differentiable FAST engine (make_diff_solve_fast)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ts_method", [1, 2, 3])
+def test_fast_diff_solve_forward_and_grad_match_general(ts_method):
+    """The fast-engine differentiable path must reproduce the general
+    path's forward values AND kappa gradients to roundoff — the adjoint
+    of the tiled constant-coefficient scan is exactly the adjoint of the
+    readable solver because both are the same discrete scheme."""
+    cfg = small_cfg(ts_method=ts_method, use_correction=True)
+    tables, state0 = setup(cfg)
+    f_gen = adjoint.make_diff_solve(cfg, tables, num_steps=3)
+    f_fast = adjoint.make_diff_solve_fast(cfg, tables, num_steps=3)
+    kap = jnp.asarray(np.asarray(tables.kappa) * 1.3)
+    wt = np.asarray(tables.wt)
+
+    a = f_gen({"kappa": kap}, state0)
+    b = f_fast({"kappa": kap}, state0)
+    for name in ("ends", "prev_ends", "half_ends"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b, name)), np.asarray(getattr(a, name)),
+            rtol=1e-12, atol=1e-14)
+
+    def make_loss(f):
+        def L(k):
+            fin = f({"kappa": k}, state0)
+            phi = transport.compute_phi(
+                transport.psi_from_ends(fin.ends), wt)
+            return jnp.sum(phi**2)
+        return L
+
+    ga = np.asarray(jax.grad(make_loss(f_gen))(kap))
+    gb = np.asarray(jax.grad(make_loss(f_fast))(kap))
+    np.testing.assert_allclose(gb, ga, rtol=1e-11)
+
+
+def test_fast_diff_solve_T_and_boundary_grads():
+    """T gradients (traced IC, equilibrium boundary rebuild) and
+    psi_source gradients through the fast engine's boundary planes."""
+    cfg = small_cfg(ts_method=3, use_mg_equilib=True, psi_source=())
+    tables, _ = setup(cfg)
+    f_gen = adjoint.make_diff_solve(cfg, tables, num_steps=2)
+    f_fast = adjoint.make_diff_solve_fast(cfg, tables, num_steps=2)
+    wt = np.asarray(tables.wt)
+
+    def make_loss(f, key):
+        def L(v):
+            fin = f({key: v}, None if key == "T" else
+                    transport.initial_state(cfg, tables))
+            phi = transport.compute_phi(
+                transport.psi_from_ends(fin.ends), wt)
+            return jnp.sum(phi**2)
+        return L
+
+    gT_gen = float(jax.grad(make_loss(f_gen, "T"))(jnp.asarray(cfg.T)))
+    gT_fast = float(jax.grad(make_loss(f_fast, "T"))(jnp.asarray(cfg.T)))
+    np.testing.assert_allclose(gT_fast, gT_gen, rtol=1e-11)
+
+    ps = jnp.asarray(np.asarray(tables.psi_source))
+    gp_gen = np.asarray(jax.grad(make_loss(f_gen, "psi_source"))(ps))
+    gp_fast = np.asarray(jax.grad(make_loss(f_fast, "psi_source"))(ps))
+    np.testing.assert_allclose(gp_fast, gp_gen, rtol=1e-11,
+                               atol=1e-11 * np.max(np.abs(gp_gen)))
+
+
+def test_fit_params_fast_solver():
+    """fit_params(solver='fast') converges on the same inverse problem
+    (single Adam run, loss strictly decreasing)."""
+    cfg = small_cfg(ts_method=2, G=2, psi_source=tuple(
+        tuple(0.02 for _ in range(2)) for _ in range(4)))
+    tables, state0 = setup(cfg)
+    wt = np.asarray(tables.wt)
+    k_true = np.asarray(tables.kappa) * np.array([0.7, 1.4])
+    f = adjoint.make_diff_solve_fast(cfg, tables, num_steps=2)
+    target = transport.compute_phi(transport.psi_from_ends(
+        f({"kappa": jnp.asarray(k_true)}, state0).ends), wt)
+
+    def loss_of_state(final, params):
+        phi = transport.compute_phi(
+            transport.psi_from_ends(final.ends), wt)
+        return jnp.mean((phi / target - 1.0) ** 2)
+
+    params, hist = adjoint.fit_params(
+        cfg, tables, state0, loss_of_state,
+        {"kappa": jnp.asarray(np.asarray(tables.kappa))},
+        num_steps=2, learning_rate=0.05, iterations=60, solver="fast")
+    assert hist[-1] < hist[0] * 1e-2
+    np.testing.assert_allclose(
+        np.asarray(params["kappa"]), k_true, rtol=0.2)
