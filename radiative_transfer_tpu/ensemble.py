@@ -62,6 +62,7 @@ def make_ensemble_solve(
     num_steps: Optional[int] = None,
     remat: bool = True,
     shared_state: bool = True,
+    solver: str = "general",
 ):
     """Build ``ens_fn(params, state) -> State`` where every leaf of
     ``params`` carries a leading ensemble axis and the returned State's
@@ -71,9 +72,17 @@ def make_ensemble_solve(
     every member (pass None to rebuild psi = B_g per member from the
     traced tables — required for 'T' ensembles, whose initial
     condition varies); False expects the State leaves themselves
-    stacked along the ensemble axis.
+    stacked along the ensemble axis. ``solver='fast'`` vmaps the
+    differentiable fast engine (adjoint.make_diff_solve_fast) instead
+    of the general solver — same members to roundoff, engine-rate
+    forward/backward (batched gradients via ``jax.vmap(jax.grad(...))``
+    then also run the production algebra).
     """
-    solve_fn = adjoint.make_diff_solve(cfg, tables, num_steps, remat=remat)
+    make = {"general": adjoint.make_diff_solve,
+            "fast": adjoint.make_diff_solve_fast}
+    if solver not in make:
+        raise ValueError(f"unknown solver {solver!r} (general/fast)")
+    solve_fn = make[solver](cfg, tables, num_steps, remat=remat)
     state_axis = None if shared_state else 0
 
     def ens_fn(params: dict, state: Optional[State] = None) -> State:
@@ -91,6 +100,7 @@ def solve_ensemble(
     state: Optional[State] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
     remat: bool = True,
+    solver: str = "general",
 ) -> State:
     """Run an ensemble of solves; one compiled program, optionally
     sharded over a device mesh along the ensemble axis.
@@ -106,7 +116,8 @@ def solve_ensemble(
         raise ValueError("empty params: nothing to batch over")
     k = _batch_size(params)
     ens_fn = make_ensemble_solve(
-        cfg, tables, num_steps, remat=remat, shared_state=True)
+        cfg, tables, num_steps, remat=remat, shared_state=True,
+        solver=solver)
     params = {key: jnp.asarray(v) for key, v in params.items()}
 
     if mesh is None:

@@ -214,3 +214,21 @@ def test_observe_phi_shape():
         cfg, tables, {"kappa": kappas}, num_steps=1, state=state0)
     phi = ensemble.observe_phi(cfg, tables, final)
     assert phi.shape == (K, cfg.G, cfg.N)
+
+
+def test_vmap_ensemble_fast_solver_matches_general():
+    """solve_ensemble(solver='fast') vmaps the differentiable fast
+    engine; members must match the general vmap path to roundoff."""
+    cfg = small_cfg(ts_method=3, use_correction=True)
+    tables, state0 = setup(cfg)
+    rng = np.random.default_rng(8)
+    K = 3
+    kappas = np.asarray(tables.kappa) * rng.uniform(0.5, 2.0, (K, cfg.G))
+
+    ref = ensemble.solve_ensemble(
+        cfg, tables, {"kappa": kappas}, num_steps=2, state=state0)
+    got = ensemble.solve_ensemble(
+        cfg, tables, {"kappa": kappas}, num_steps=2, state=state0,
+        solver="fast")
+    np.testing.assert_allclose(
+        np.asarray(got.ends), np.asarray(ref.ends), rtol=1e-12, atol=1e-14)
