@@ -182,6 +182,21 @@ def main(argv=None) -> int:
                          "group factor for --engine general, M*G/2 "
                          "divisible for --engine fast); 1xN is a pure "
                          "spatial decomposition")
+    ap.add_argument("--steady", action="store_true",
+                    help="solve for the steady state DIRECTLY instead of "
+                         "time-marching (steady.py): one modified sweep "
+                         "(plus a short fixed-point iteration when "
+                         "use_correction couples the source to psi); "
+                         "writes the same CSV set")
+    ap.add_argument("--steady-method", choices=("direct", "cycle"),
+                    default="direct",
+                    help="direct: the spatial discretization's steady "
+                         "solution (exact BE/CN march limit); cycle: the "
+                         "exact fixed point of the configured "
+                         "integrator's full step map via matrix-free "
+                         "GMRES — where a BDF2 march actually settles "
+                         "(differs from direct by the reference's "
+                         "predictor-corrector bias, docs/QUIRKS.md #16)")
     ap.add_argument("--ensemble-kappa", default=None, metavar="FILE",
                     help="opacity ensemble: FILE has K rows x G columns "
                          "(whitespace-separated, # comments); all K "
@@ -204,6 +219,23 @@ def main(argv=None) -> int:
     if args.balance_every and args.checkpoint_dir:
         ap.error("--balance-every and --checkpoint-dir both chunk the "
                  "solve loop; pick one")
+    if args.steady_method != "direct" and not args.steady:
+        ap.error("--steady-method requires --steady")
+    if args.steady:
+        # Loud refusal over silent no-op (driver flag-hygiene contract,
+        # tests/test_cli_flags.py): a steady solve has no time loop to
+        # checkpoint/chunk and no marching engine to select.
+        for val, name in ((args.checkpoint_dir, "--checkpoint-dir"),
+                          (args.balance_every, "--balance-every"),
+                          (args.mesh, "--mesh"),
+                          (args.ensemble_kappa, "--ensemble-kappa"),
+                          (args.steps, "--steps"),
+                          (args.check, "--check")):
+            if val:
+                ap.error(f"--steady does not support {name}")
+        if args.engine != "general":
+            ap.error("--steady has a single implementation (the tiled "
+                     "f64/f32 sweep); drop --engine")
     if args.ensemble_kappa:
         # Loud refusal over silent no-op (driver flag-hygiene contract,
         # tests/test_cli_flags.py).
@@ -399,6 +431,17 @@ def _run(args, cfg, dtype):
 
     from .models import transport
     from .utils import io as io_mod  # noqa: F401  (kept for parity of imports)
+
+    if args.steady:
+        from .steady import run_steady_problem
+
+        result, sr = run_steady_problem(cfg, dtype=dtype,
+                                        method=args.steady_method)
+        unit = "matvecs" if args.steady_method == "cycle" else "sweeps"
+        print(f"steady solve ({args.steady_method}): {sr.iterations} "
+              f"{unit}, residual {sr.residual:.3e}")
+        _, grid, _ = transport.build_tables(cfg, dtype=jnp.float64)
+        return result, np.asarray(grid.e_ave), sr.iterations
 
     check_fn = _make_check_fn(args)
     if args.engine == "auto" and not args.mesh and args.dtype != "float32":

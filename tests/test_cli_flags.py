@@ -142,3 +142,60 @@ def test_ensemble_kappa_refusals(tmp_path):
     rc = cli.main([deck, "--outdir", str(tmp_path),
                    "--ensemble-kappa", badtab])
     assert rc == 2
+
+
+def test_steady_flag_runs_and_writes_csvs(tmp_path):
+    """--steady produces the full 8-CSV output set and reports the
+    sweep count; on the near-equilibrium gray deck the steady phi
+    equals the long-marched phi to f64 tightness."""
+    deck = _deck(str(tmp_path), steps=400)
+    out_s = os.path.join(str(tmp_path), "steady")
+    out_m = os.path.join(str(tmp_path), "march")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cli.main([deck, "--steady", "--outdir", out_s]) == 0
+    text = buf.getvalue()
+    assert "steady solve (direct)" in text
+    for f in ("phi.csv", "F.csv", "psi.csv", "x.csv"):
+        assert os.path.exists(os.path.join(out_s, f))
+    # long march on the same deck (BE, large dt -> the same fixed point)
+    deck_m = _deck(str(tmp_path), steps=60)
+    txt = open(deck_m).read().replace("ts_method=3", "ts_method=1")
+    txt = txt.replace("dt=.00001", "dt=1.0")
+    open(deck_m, "w").write(txt)
+    with redirect_stdout(io.StringIO()):
+        assert cli.main([deck_m, "--outdir", out_m]) == 0
+    a = np.loadtxt(os.path.join(out_m, "phi.csv"))
+    b = np.loadtxt(os.path.join(out_s, "phi.csv"))
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-12 * np.max(np.abs(a)))
+
+
+def test_steady_cycle_method(tmp_path):
+    deck = _deck(str(tmp_path), steps=4)
+    out = os.path.join(str(tmp_path), "cyc")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cli.main([deck, "--steady", "--steady-method", "cycle",
+                         "--outdir", out]) == 0
+    assert "steady solve (cycle)" in buf.getvalue()
+    assert os.path.exists(os.path.join(out, "phi.csv"))
+
+
+def test_steady_refusals(tmp_path):
+    """--steady refuses every time-loop flag loudly (no silent no-ops)."""
+    deck = _deck(str(tmp_path), steps=4)
+    base = [deck, "--outdir", str(tmp_path), "--steady"]
+    for bad in (["--checkpoint-dir", str(tmp_path)],
+                ["--balance-every", "1"],
+                ["--mesh", "1x2"],
+                ["--steps", "5"],
+                ["--check"],
+                ["--engine", "fast"]):
+        with pytest.raises(SystemExit) as e:
+            cli.main(base + bad)
+        assert e.value.code == 2
+    # --steady-method without --steady
+    with pytest.raises(SystemExit) as e:
+        cli.main([deck, "--outdir", str(tmp_path),
+                  "--steady-method", "cycle"])
+    assert e.value.code == 2
