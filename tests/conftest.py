@@ -31,6 +31,22 @@ _OWN_PRM = os.path.join(
 )
 
 
+def deck_edit(text: str, old: str, new: str) -> str:
+    """str.replace for deck text that REFUSES to silently no-op.
+
+    VERDICT r3: a test used ``replace("dt=.00001", ...)`` against a deck
+    spelling it ``dt=0.00001`` — the substitution no-opped and the test
+    quietly ran the wrong problem. Every test-side deck edit goes
+    through here so a stale pattern is an immediate error.
+    """
+    if old not in text:
+        raise AssertionError(
+            f"deck edit pattern {old!r} not found in deck text; "
+            "the deck wording changed under this test"
+        )
+    return text.replace(old, new)
+
+
 def reference_deck(name: str) -> str:
     """Path to a reference input deck; falls back to the repo's own
     equivalent deck (identical problems, tested) so the suite runs

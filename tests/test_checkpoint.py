@@ -5,7 +5,7 @@ import os
 import numpy as np
 import pytest
 
-from conftest import reference_deck
+from conftest import deck_edit, reference_deck
 
 from radiative_transfer_tpu.config.config import load_config
 from radiative_transfer_tpu.models import transport
@@ -186,7 +186,8 @@ def test_cli_checkpoint_halo_engine(tmp_path):
     # the halo engine needs the truncated-scan regime: raise N/X so the
     # per-cell attenuation bounds carry influence within the block
     with open(reference_deck("single_group.prm")) as f:
-        text = f.read().replace("N=100", "N=1024").replace("X=1.", "X=10.24")
+        text = deck_edit(deck_edit(f.read(), "N=100", "N=1024"),
+                         "X=1.", "X=10.24")
     deck = str(tmp_path / "gray_hires.prm")
     with open(deck, "w") as f:
         f.write(text)

@@ -11,7 +11,7 @@ import re
 from contextlib import redirect_stdout
 
 import conftest  # noqa: F401
-from conftest import reference_deck
+from conftest import deck_edit, reference_deck
 
 import numpy as np
 import pytest
@@ -23,8 +23,8 @@ BAL_RE = re.compile(r"step\s+\d+: balance max=", re.M)
 
 def _deck(tmp_path, steps=4, N=64):
     text = open(reference_deck("single_group.prm")).read()
-    text = text.replace("max_timesteps=1000", f"max_timesteps={steps}")
-    text = text.replace("N=100", f"N={N}")
+    text = deck_edit(text, "max_timesteps=1000", f"max_timesteps={steps}")
+    text = deck_edit(text, "N=100", f"N={N}")
     path = os.path.join(tmp_path, "deck.prm")
     open(path, "w").write(text)
     return path
@@ -108,8 +108,8 @@ def test_ensemble_kappa_writes_member_sets(tmp_path, engine):
         assert os.path.exists(os.path.join(sub, "phi.csv")), text[-2000:]
         # member k == a plain run of the same deck with kappa_grey=k
         deck_k = _deck(str(tmp_path), steps=3)
-        txt = open(deck_k).read().replace(
-            "kappa_grey=1", f"kappa_grey={float(kap[0])!r}")
+        txt = deck_edit(open(deck_k).read(),
+                        "kappa_grey=1", f"kappa_grey={float(kap[0])!r}")
         open(deck_k, "w").write(txt)
         single = os.path.join(str(tmp_path), f"single{k}")
         with redirect_stdout(io.StringIO()):
@@ -160,8 +160,8 @@ def test_steady_flag_runs_and_writes_csvs(tmp_path):
         assert os.path.exists(os.path.join(out_s, f))
     # long march on the same deck (BE, large dt -> the same fixed point)
     deck_m = _deck(str(tmp_path), steps=60)
-    txt = open(deck_m).read().replace("ts_method=3", "ts_method=1")
-    txt = txt.replace("dt=.00001", "dt=1.0")
+    txt = deck_edit(open(deck_m).read(), "ts_method=3", "ts_method=1")
+    txt = deck_edit(txt, "dt=0.00001", "dt=1.0")
     open(deck_m, "w").write(txt)
     with redirect_stdout(io.StringIO()):
         assert cli.main([deck_m, "--outdir", out_m]) == 0

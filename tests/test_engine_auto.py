@@ -22,7 +22,7 @@ import subprocess
 import sys
 
 import conftest  # noqa: F401
-from conftest import reference_deck
+from conftest import deck_edit, reference_deck
 
 import jax
 import numpy as np
@@ -184,7 +184,7 @@ def test_cli_auto_mesh_f64_uses_fast_engine(tmp_path):
     from radiative_transfer_tpu import cli
 
     text = open(reference_deck("single_group.prm")).read()
-    text = text.replace("max_timesteps=1000", "max_timesteps=2")
+    text = deck_edit(text, "max_timesteps=1000", "max_timesteps=2")
     deck = os.path.join(tmp_path, "deck.prm")
     open(deck, "w").write(text)
     buf = io.StringIO()

@@ -28,7 +28,7 @@ import subprocess
 import numpy as np
 import pytest
 
-from conftest import reference_deck
+from conftest import deck_edit, reference_deck
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
@@ -321,7 +321,8 @@ def test_gray_multichip_matches_reference_binary(transfer_binary, tmp_path,
     deck_path = _deck_with_steps(
         reference_deck("single_group.prm"), 100, str(tmp_path))
     text = open(deck_path).read()
-    text = text.replace("N=100", "N=1024").replace("X=1.", "X=10.24")
+    text = deck_edit(text, "N=100", "N=1024")
+    text = deck_edit(text, "X=1.", "X=10.24")
     open(deck_path, "w").write(text)
 
     refdir = _run_reference(transfer_binary, deck_path, str(tmp_path))
@@ -350,9 +351,8 @@ def test_be_and_cn_match_reference_binary(transfer_binary, tmp_path):
         work = tmp_path / f"ts{ts}"
         work.mkdir()
         deck = os.path.join(work, "deck.prm")
-        text = base.replace("ts_method=3", f"ts_method={ts}").replace(
-            "max_timesteps=500", "max_timesteps=50"
-        )
+        text = deck_edit(base, "ts_method=3", f"ts_method={ts}")
+        text = deck_edit(text, "max_timesteps=500", "max_timesteps=50")
         open(deck, "w").write(text)
         refdir = _run_reference(transfer_binary, deck, str(work))
         ourdir = _run_ours(deck, str(work / "ours"))
