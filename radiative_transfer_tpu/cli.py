@@ -12,8 +12,10 @@ Usage:
 Options:
     --outdir DIR     output directory for CSVs (default: CWD)
     --steps K        override max_timesteps
-    --engine E       'general' (float64 scan path, default) or 'fast'
-                     (tiled float32/float64 fused path)
+    --engine E       'general' (float64 scan path, default), 'fast'
+                     (tiled float32/float64 fused path), 'pallas' (f32
+                     TPU kernel), 'df' (double-float TPU kernel:
+                     f64-grade at kernel rate), 'halo', or 'auto'
     --dtype D        float64 (default) or float32
     --profile        print per-step wall-clock and updates/s
     --check          numeric guards per solve chunk (named checkify checks)
@@ -124,16 +126,21 @@ def main(argv=None) -> int:
     ap.add_argument("--outdir", default=".")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--engine",
-                    choices=("general", "fast", "pallas", "halo", "auto"),
+                    choices=("general", "fast", "pallas", "df", "halo",
+                             "auto"),
                     default="general",
                     help="general: f64 scan path (default); fast: tiled "
                          "fused XLA engine; pallas: single-pass TPU kernel "
-                         "(float32, interpreted off-TPU); halo: multi-chip "
+                         "(float32, interpreted off-TPU); df: double-float "
+                         "TPU kernel (f64-grade results at ~23%% of the f32 "
+                         "kernel rate — the fast reference-precision path); "
+                         "halo: multi-chip "
                          "fused K-step kernel via halo-overlap decomposition "
                          "(float32, needs the truncated-scan regime; implies "
                          "--mesh 1x1 when no mesh is given); auto: fastest "
-                         "engine for the topology — plain pallas (f32) or "
-                         "fast (f64) on a single chip / mesh 1x1, halo when "
+                         "engine for the topology and dtype — plain pallas "
+                         "(f32) or df (f64) on a TPU chip, fast (f64) "
+                         "off-TPU, halo when "
                          "feasible else the sharded pallas engine on real "
                          "meshes")
     ap.add_argument("--dtype", choices=("float64", "float32"), default="float64")
@@ -445,12 +452,20 @@ def _run(args, cfg, dtype):
 
     check_fn = _make_check_fn(args)
     if args.engine == "auto" and not args.mesh and args.dtype != "float32":
-        # f64 parity runs: the tiled XLA engine is the fast f64 path.
-        args.engine = "fast"
-        print("auto engine: fast (single chip, float64)")
+        # f64-grade runs: the double-float Pallas kernel on a TPU chip
+        # (15.1 G vs the XLA engine's 1.9 G at the headline shape); the
+        # tiled XLA engine off-TPU (the interpreter would lose badly).
+        import jax as _jax
+
+        if _jax.devices()[0].platform == "cpu":
+            args.engine = "fast"
+            print("auto engine: fast (single chip, float64, off-TPU)")
+        else:
+            args.engine = "df"
+            print("auto engine: df (single chip, double-float kernel)")
     if args.mesh:
         return _run_sharded(args, cfg, dtype)
-    if args.engine in ("fast", "pallas", "auto"):
+    if args.engine in ("fast", "pallas", "df", "auto"):
         tables, grid, ct = transport.build_tables(cfg, dtype=jnp.float64)
         if cfg.include_validation:
             assert transport.validate_tables(cfg, ct), "Invalid Correction Terms"
@@ -468,8 +483,13 @@ def _run(args, cfg, dtype):
 
             if args.dtype != "float32":
                 print("note: the pallas engine is float32-only; "
-                      "--dtype float64 runs use --engine fast/general")
+                      "f64-grade runs use --engine df (kernel rate) or "
+                      "fast/general (XLA)")
             eng = PallasEngine(cfg, tables, scan_tol=args.scan_tol)
+        elif args.engine == "df":
+            from .ops.df_sweep import DFPallasEngine
+
+            eng = DFPallasEngine(cfg, tables, scan_tol=args.scan_tol)
         else:
             from .ops.fast_sweep import FastEngine
 

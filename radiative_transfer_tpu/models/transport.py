@@ -451,7 +451,8 @@ def run_problem(cfg: Config, dtype=jnp.float64,
     path; engine='auto' routes through the shape-aware perf-engine
     selection (parallel.make_multichip_engine — float32 compute,
     diagnostics in f64); engine='fast' pins the tiled XLA engine at
-    `dtype`."""
+    `dtype`; engine='df' pins the double-float Pallas kernel
+    (f64-grade results at kernel rate, ops/df_sweep.py)."""
     tables, _, ct = build_tables(cfg, dtype=dtype)
     if cfg.include_validation:
         assert validate_tables(cfg, ct), "Invalid Correction Terms"
@@ -460,13 +461,17 @@ def run_problem(cfg: Config, dtype=jnp.float64,
             from ..ops.fast_sweep import FastEngine
 
             eng = FastEngine(cfg, tables, dtype=dtype)
+        elif engine == "df":
+            from ..ops.df_sweep import DFPallasEngine
+
+            eng = DFPallasEngine(cfg, tables)
         elif engine == "auto":
             from ..parallel import make_multichip_engine
 
             eng = make_multichip_engine(cfg, tables, None)
         else:
             raise ValueError(f"unknown engine {engine!r} "
-                             "(general/fast/auto)")
+                             "(general/fast/df/auto)")
         ends = jnp.asarray(eng.ends(eng.solve(num_steps=num_steps)),
                            jnp.float64)
         return result_from_ends(cfg, tables, ends)

@@ -807,6 +807,14 @@ class DFPallasEngine:
     def ends(self, st: DFState) -> jnp.ndarray:
         return self.ends_pair(st.hi.e0, st.lo.e0, st.hi.e1, st.lo.e1)
 
+    def prev_half_ends(self, st: DFState):
+        """(prev_ends, half_ends) as global f64 (M, G, N, 2) arrays —
+        the checkpoint layer's engine-agnostic snapshot hook
+        (utils/checkpoint.solve_with_checkpoints_engine)."""
+        prev = self.ends_pair(st.hi.p0, st.lo.p0, st.hi.p1, st.lo.p1)
+        half = self.ends_pair(st.hi.h0, st.lo.h0, st.hi.h1, st.lo.h1)
+        return prev, half
+
     def solve(self, state: Optional[DFState] = None,
               num_steps: Optional[int] = None,
               steps_per_launch: Optional[int] = None) -> DFState:

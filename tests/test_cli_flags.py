@@ -199,3 +199,50 @@ def test_steady_refusals(tmp_path):
         cli.main([deck, "--outdir", str(tmp_path),
                   "--steady-method", "cycle"])
     assert e.value.code == 2
+
+
+def test_df_engine_writes_csvs_and_matches_general(tmp_path):
+    """--engine df produces the same 8 CSVs as the f64 general path to
+    double-float accuracy (the CLI wiring for ops/df_sweep.py)."""
+    deck = _deck(tmp_path, steps=4, N=64)
+    out_df = os.path.join(tmp_path, "df")
+    out_gen = os.path.join(tmp_path, "gen")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cli.main([deck, "--outdir", out_df, "--engine", "df"]) == 0
+        assert cli.main([deck, "--outdir", out_gen,
+                         "--engine", "general"]) == 0
+    for name in ("phi.csv", "psi.csv", "left_ends.csv", "right_ends.csv"):
+        a = np.loadtxt(os.path.join(out_df, name), ndmin=2)
+        b = np.loadtxt(os.path.join(out_gen, name), ndmin=2)
+        scale = np.abs(b).max() + 1e-300
+        assert np.abs(a - b).max() / scale < 1e-11, name
+
+
+def test_df_engine_checkpoint_resume(tmp_path):
+    """Checkpoints written under --engine df resume exactly (the
+    prev_half_ends snapshot hook)."""
+    deck = _deck(tmp_path, steps=8, N=64)
+    ck = os.path.join(tmp_path, "ck")
+    full = os.path.join(tmp_path, "full")
+    resumed = os.path.join(tmp_path, "resumed")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cli.main([deck, "--outdir", full, "--engine", "df"]) == 0
+        # first run checkpoints every 3 steps, then dies at step 6
+        assert cli.main([deck, "--outdir", os.path.join(tmp_path, "x"),
+                         "--engine", "df", "--steps", "6",
+                         "--checkpoint-dir", ck,
+                         "--checkpoint-every", "3"]) == 0
+        # resume completes the remaining steps from the checkpoint
+        assert cli.main([deck, "--outdir", resumed, "--engine", "df",
+                         "--checkpoint-dir", ck,
+                         "--checkpoint-every", "3"]) == 0
+    assert "resumed from step" in buf.getvalue()
+    for name in ("phi.csv", "left_ends.csv"):
+        a = np.loadtxt(os.path.join(resumed, name), ndmin=2)
+        b = np.loadtxt(os.path.join(full, name), ndmin=2)
+        scale = np.abs(b).max() + 1e-300
+        # checkpoints round the df pair through f64 arrays -> reseeding
+        # costs at most the double-float representation error
+        assert np.abs(a - b).max() / scale < 1e-11, name

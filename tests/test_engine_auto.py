@@ -220,7 +220,9 @@ def test_auto_packed_solution_matches_pallas():
                  "auto engine: PallasEngine (single chip)",
                  # CPU-only hosts: interpret mode loses, auto picks XLA
                  "auto engine: FastEngine (single chip)")),
-    ("float64", ("auto engine: fast (single chip, float64)",)),
+    ("float64", ("auto engine: fast (single chip, float64, off-TPU)",
+                 # TPU hosts: the double-float kernel is the fast f64 path
+                 "auto engine: df (single chip, double-float kernel)")),
 ])
 def test_cli_auto_single_chip(tmp_path, dtype, wants):
     """cli --engine auto without a mesh runs the fastest single-chip
