@@ -127,7 +127,7 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--engine",
                     choices=("general", "fast", "pallas", "df", "halo",
-                             "auto"),
+                             "fused", "auto"),
                     default="general",
                     help="general: f64 scan path (default); fast: tiled "
                          "fused XLA engine; pallas: single-pass TPU kernel "
@@ -137,7 +137,10 @@ def main(argv=None) -> int:
                          "halo: multi-chip "
                          "fused K-step kernel via halo-overlap decomposition "
                          "(float32, needs the truncated-scan regime; implies "
-                         "--mesh 1x1 when no mesh is given); auto: fastest "
+                         "--mesh 1x1 when no mesh is given); fused: "
+                         "multi-chip single-exchange fused-cycle engine for "
+                         "the untruncatable BDF2 regime (float32, --mesh); "
+                         "auto: fastest "
                          "engine for the topology and dtype — plain pallas "
                          "(f32) or df (f64) on a TPU chip, fast (f64) "
                          "off-TPU, halo when "
@@ -603,7 +606,7 @@ def _run_sharded(args, cfg, dtype):
     if cfg.include_validation:
         assert transport.validate_tables(cfg, ct), "Invalid Correction Terms"
 
-    if args.engine in ("fast", "pallas", "halo", "auto"):
+    if args.engine in ("fast", "pallas", "halo", "fused", "auto"):
         mesh = sharded_fast.make_mesh_2d(ng, nx) if ng > 1 else \
             sharded_fast.make_mesh_1d(nx)
         distributed.assert_mesh_spans_hosts(mesh)
@@ -645,6 +648,17 @@ def _run_sharded(args, cfg, dtype):
                 print("note: the sharded pallas engine is float32-only")
             eng = ShardedPallasEngine(cfg, tables, mesh,
                                       scan_tol=args.scan_tol)
+        elif args.engine == "fused":
+            from .parallel.fused_exchange import FusedExchangeEngine
+
+            if args.dtype != "float32":
+                print("note: the fused-exchange engine is float32-only")
+            try:
+                eng = FusedExchangeEngine(cfg, tables, mesh,
+                                          scan_tol=args.scan_tol)
+            except ValueError as e:
+                raise SystemExit(
+                    f"--engine fused infeasible for this workload: {e}")
         else:
             eng = sharded_fast.ShardedFastEngine(cfg, tables, mesh,
                                                  dtype=dtype)

@@ -86,18 +86,36 @@ def make_multichip_engine(cfg, tables, mesh, engine: str = "auto",
                 pass  # infeasible (creep bound / odd N): plain engine
         kw = _filter_kwargs(pallas_sweep.PallasEngine.__init__, kw)
         return pallas_sweep.PallasEngine(cfg, tables, **kw)
-    from . import halo_pallas, sharded_pallas
+    from . import fused_exchange, halo_pallas, sharded_pallas
 
     if engine == "halo":
         return halo_pallas.HaloPallasEngine(cfg, tables, mesh, **kw)
     if engine == "pallas":
         return sharded_pallas.ShardedPallasEngine(cfg, tables, mesh, **kw)
+    if engine == "fused":
+        return fused_exchange.FusedExchangeEngine(cfg, tables, mesh, **kw)
     if engine != "auto":
         raise ValueError(f"unknown multi-chip engine {engine!r}")
     try:
         return halo_pallas.HaloPallasEngine(cfg, tables, mesh, **kw)
     except ValueError:
-        # Drop halo-only kwargs (e.g. steps_per_launch) so the fallback
-        # constructor does not die on an unexpected keyword.
-        kw = _filter_kwargs(sharded_pallas.ShardedPallasEngine.__init__, kw)
-        return sharded_pallas.ShardedPallasEngine(cfg, tables, mesh, **kw)
+        pass  # infeasible (creep bound / odd N): untruncatable fallbacks
+    # Untruncatable BDF2 (the halo creep bound failed — e.g. the
+    # reference's shipped LLNL deck at dt=1e-3): the single-exchange
+    # fused engine does 1 launch + 1 small all_gather per whole step
+    # vs the per-substep engine's 4+4 — the right trade on a real
+    # multi-shard mesh, where exchanges cost latency (at mesh-1x1 the
+    # self-copy exchanges are free and per-substep can edge it out on
+    # compute-bound shapes, but auto never routes K=1 here).
+    if cfg.ts_method == 3:
+        try:
+            fkw = _filter_kwargs(
+                fused_exchange.FusedExchangeEngine.__init__, kw)
+            return fused_exchange.FusedExchangeEngine(
+                cfg, tables, mesh, **fkw)
+        except ValueError:
+            pass  # e.g. N not divisible by the shard count
+    # Drop halo-only kwargs (e.g. steps_per_launch) so the fallback
+    # constructor does not die on an unexpected keyword.
+    kw = _filter_kwargs(sharded_pallas.ShardedPallasEngine.__init__, kw)
+    return sharded_pallas.ShardedPallasEngine(cfg, tables, mesh, **kw)

@@ -120,10 +120,26 @@ def test_multi_device_truncatable_selects_halo(mesh8):
     assert isinstance(eng, HaloPallasEngine)
 
 
-def test_multi_device_untruncatable_selects_sharded(mesh8):
+def test_multi_device_untruncatable_selects_fused(mesh8):
     # scan_tol=0 disables truncation -> the halo creep bound must reject
-    # and auto must fall back to the per-substep-exchange engine.
+    # and auto must fall back to the single-exchange fused-cycle engine
+    # for BDF2 (1 launch + 1 small all_gather per step vs the
+    # per-substep engine's 4+4, parallel/fused_exchange.py).
+    from radiative_transfer_tpu.parallel.fused_exchange import (
+        FusedExchangeEngine,
+    )
+
     cfg = _gray()
+    tables, _, _ = transport.build_tables(cfg)
+    eng = parallel.make_multichip_engine(cfg, tables, mesh8, block=32,
+                                         scan_tol=0.0, platform="tpu")
+    assert isinstance(eng, FusedExchangeEngine)
+
+
+def test_multi_device_untruncatable_non_bdf2_selects_sharded(mesh8):
+    # BE stepping has no fused-cycle variant: the per-substep engine
+    # already runs one exchange per step there.
+    cfg = _gray().replace(ts_method=1)
     tables, _, _ = transport.build_tables(cfg)
     eng = parallel.make_multichip_engine(cfg, tables, mesh8, block=32,
                                          scan_tol=0.0, platform="tpu")

@@ -272,11 +272,18 @@ def test_make_multichip_engine_auto(mesh8):
     cfg2 = load_config(reference_deck("llnl_slab_test.prm"), N=64)
     tables2, _, _ = transport.build_tables(cfg2)
     # halo-only kwargs (steps_per_launch) must be dropped when the
-    # fallback constructor fires, not raise TypeError.
+    # fallback constructor fires, not raise TypeError. The untruncatable
+    # BDF2 fallback is the single-exchange fused engine (round 4,
+    # parallel/fused_exchange.py); the per-substep engine remains the
+    # fallback for non-BDF2 stepping (test_engine_auto).
+    from radiative_transfer_tpu.parallel.fused_exchange import (
+        FusedExchangeEngine,
+    )
+
     eng2 = parallel.make_multichip_engine(cfg2, tables2, mesh8, block=8,
                                           steps_per_launch=4,
                                           platform="tpu")
-    assert isinstance(eng2, sharded_pallas.ShardedPallasEngine)
+    assert isinstance(eng2, FusedExchangeEngine)
 
 
 def test_odd_shard_cells_guidance(mesh8):

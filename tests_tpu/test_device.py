@@ -154,3 +154,22 @@ def test_stacked_ensemble_on_chip():
         feng = FastEngine(cfg, tab_k, dtype=jnp.float32)
         ref = feng.ends(feng.solve(num_steps=cfg.max_timesteps))
         assert _relerr(got.ends[k], ref) < 1e-5
+
+
+def test_fused_exchange_engine_compiles(workload):
+    """The single-exchange fused-cycle mesh engine (the untruncatable-
+    regime fallback, parallel/fused_exchange.py) through real Mosaic:
+    one launch + one exchange per BDF2 step at a 1-device mesh."""
+    from radiative_transfer_tpu.parallel.fused_exchange import (
+        FusedExchangeEngine, Mesh,
+    )
+
+    cfg, tables, ref = workload
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("x",))
+    eng = FusedExchangeEngine(cfg, tables, mesh)
+    assert not eng.interpret
+    st = eng.solve(num_steps=cfg.max_timesteps)
+    assert _relerr(eng.ends(st), ref) < 1e-5
+    prev, half = eng.prev_half_ends(st)
+    assert np.isfinite(np.asarray(prev)).all()
+    assert np.isfinite(np.asarray(half)).all()
