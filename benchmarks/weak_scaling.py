@@ -57,10 +57,13 @@ def main():
                          "multigroup halo-exchange config)")
     ap.add_argument("--engine", default="halo-pallas",
                     choices=("halo-pallas", "sharded-pallas",
-                             "sharded-fast"))
+                             "sharded-fast", "fused-exchange"))
     ap.add_argument("--virtual", action="store_true",
-                    help="force an 8-device CPU host mesh (overhead "
+                    help="force a virtual CPU host mesh (overhead "
                          "trends only, not TPU rates)")
+    ap.add_argument("--devices", type=int, default=8,
+                    help="virtual mode: host-mesh device count (the "
+                         "pod-scale ladder uses 64)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--control", choices=("all", "last", "none"),
                     default="all",
@@ -75,7 +78,8 @@ def main():
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
-                flags + " --xla_force_host_platform_device_count=8"
+                flags + " --xla_force_host_platform_device_count="
+                + str(args.devices)
             ).strip()
 
     import jax
@@ -166,6 +170,12 @@ def main():
             )
 
             eng = ShardedPallasEngine(cfg, tables, mesh)
+        elif args.engine == "fused-exchange":
+            from radiative_transfer_tpu.parallel.fused_exchange import (
+                FusedExchangeEngine,
+            )
+
+            eng = FusedExchangeEngine(cfg, tables, mesh)
         else:
             from radiative_transfer_tpu.parallel.sharded_fast import (
                 ShardedFastEngine,

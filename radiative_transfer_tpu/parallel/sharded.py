@@ -56,6 +56,16 @@ from ..ops.sweep import _shift_in  # shared upwind-shift helper
 _C = constants.SPEED_OF_LIGHT
 
 
+def _compose_affine(x, y):
+    """Associative composition of batched affine maps (A, B): apply the
+    LEFT (upstream-in-sweep-order) map first, then the right —
+    z -> yA*(xA*z + xB) + yB. The binary op of the log-depth composite
+    scans here and in sharded_fast.ShardedFastEngine._substep."""
+    xA, xB = x
+    yA, yB = y
+    return yA * xA, yA * xB + yB
+
+
 def make_mesh(
     n_spatial: int, n_group: int = 1, devices=None
 ) -> Mesh:
@@ -130,18 +140,23 @@ def _sweep_half_sharded(
     pref_a, pref_b = affine_scan(a, b, axis=-1)
 
     if K > 1:
-        # Exclusive composition of the per-shard total maps in sweep order.
+        # Exclusive composition of the per-shard total maps in sweep
+        # order: one tiny all_gather, then a LOG-DEPTH local
+        # associative scan of the affine pairs (compose downstream
+        # after upstream). An earlier K-unrolled fold built an O(K)
+        # graph with an O(K) serial dependency chain — fine at K=8,
+        # hostile to compile time and step latency at pod scale.
         gA = lax.all_gather(pref_a[..., -1], axis)   # (K, Mh, Gl) shard order
         gB = lax.all_gather(pref_b[..., -1], axis)
         if reverse:
             gA, gB = jnp.flip(gA, 0), jnp.flip(gB, 0)   # to sweep order
-        accA = jnp.ones_like(bc)
-        accB = jnp.zeros_like(bc)
-        incoming = jnp.zeros_like(bc)
-        for i in range(K):
-            inc_i = accA * bc + accB
-            incoming = jnp.where(pos == i, inc_i, incoming)
-            accA, accB = gA[i] * accA, gA[i] * accB + gB[i]
+        inclA, inclB = lax.associative_scan(_compose_affine, (gA, gB),
+                                            axis=0)
+        exclA = jnp.concatenate([jnp.ones_like(gA[:1]), inclA[:-1]], 0)
+        exclB = jnp.concatenate([jnp.zeros_like(gB[:1]), inclB[:-1]], 0)
+        eA = lax.dynamic_index_in_dim(exclA, pos, 0, keepdims=False)
+        eB = lax.dynamic_index_in_dim(exclB, pos, 0, keepdims=False)
+        incoming = eA * bc + eB
     else:
         incoming = bc
 

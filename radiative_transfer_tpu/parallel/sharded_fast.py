@@ -184,23 +184,27 @@ class ShardedFastEngine:
                               kc=kc)
 
         # Composite exchange: shard order IS sweep order for both halves
-        # (the mu<0 half is stored pre-reversed).
+        # (the mu<0 half is stored pre-reversed). One tiny all_gather,
+        # then a LOG-DEPTH local associative scan of the affine pairs
+        # (the K-unrolled fold it replaces built an O(K) graph with an
+        # O(K) serial chain — hostile at pod scale; see
+        # sharded._compose_affine).
+        from .sharded import _compose_affine
+
         gA = lax.all_gather(a_powN[..., 0], self.axis)   # (K, 2, Bh_l)
         gB = lax.all_gather(tot_b[..., 0], self.axis)
         k = lax.axis_index(self.axis)
 
-        accA = jnp.ones_like(gA[0])
-        accB = jnp.zeros_like(gB[0])
-        exclA = jnp.ones_like(gA[0])
-        exclB = jnp.zeros_like(gB[0])
-        for i in range(self.K):
-            exclA = jnp.where(k == i, accA, exclA)
-            exclB = jnp.where(k == i, accB, exclB)
-            accA, accB = gA[i] * accA, gA[i] * accB + gB[i]
-        # accA/accB now hold the GLOBAL total composite.
-
-        inflow = self._inflow(kind, tb, accA[..., None], accB[..., None])
-        incoming = exclA[..., None] * inflow + exclB[..., None]
+        inclA, inclB = lax.associative_scan(_compose_affine, (gA, gB),
+                                            axis=0)
+        exclA = jnp.concatenate([jnp.ones_like(gA[:1]), inclA[:-1]], 0)
+        exclB = jnp.concatenate([jnp.zeros_like(gB[:1]), inclB[:-1]], 0)
+        eA = lax.dynamic_index_in_dim(exclA, k, 0, keepdims=False)
+        eB = lax.dynamic_index_in_dim(exclB, k, 0, keepdims=False)
+        # inclA/inclB's last entry is the GLOBAL total composite.
+        inflow = self._inflow(kind, tb, inclA[-1][..., None],
+                              inclB[-1][..., None])
+        incoming = eA[..., None] * inflow + eB[..., None]
         return eng.finish(kind, r0, r1, pb, pow_t, EXa, EXb, incoming, kc=kc)
 
     def _step(self, st: fs.FlatState, tb) -> fs.FlatState:
