@@ -1,0 +1,179 @@
+"""Kernel-rate adjoint (ops/pallas_adjoint.py) correctness.
+
+Two layers of evidence:
+* the substep transpose is EXACT (machine precision) against jax.vjp of
+  the forward substep, for every integrator kind and every cotangent —
+  input planes, carries, upwind edges, and all ten coefficient-gradient
+  columns;
+* the end-to-end differentiable solve matches adjoint.make_diff_solve_fast
+  (the f64 XLA adjoint) at f32-grade fidelity on values and parameter
+  gradients, across integrators, boundary kinds, and the correction
+  deck. Run through the real pallas_call machinery (interpret on CPU).
+
+The reflective-at-equilibrium configuration is deliberately avoided for
+the kappa bars: the gray equilibrium's kappa sensitivity is ~1e-9 (a
+total cancellation), where ANY f32 adjoint measures its own roundoff
+floor; a shifted boundary source restores an O(1) sensitivity.
+"""
+
+import conftest  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from radiative_transfer_tpu import adjoint, load_config
+from radiative_transfer_tpu.models import transport
+from radiative_transfer_tpu.ops import fast_sweep as fs
+from radiative_transfer_tpu.ops import pallas_adjoint as pa
+from radiative_transfer_tpu.ops import pallas_sweep as ps
+
+
+class _FakeRef:
+    def __init__(self, v):
+        self.v = jnp.asarray(v)
+
+    def __getitem__(self, k):
+        return self.v if k == slice(None) else self.v[k]
+
+
+@pytest.mark.parametrize("kind", [fs.BE, fs.CN, fs.BDF])
+def test_substep_adjoint_exact(kind, monkeypatch):
+    """The hand transpose == jax.vjp of the forward, to roundoff."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setattr(pltpu, "roll",
+                        lambda x, s, axis=0: jnp.roll(x, int(s), axis))
+    cfg = load_config(conftest.reference_deck("multi_group_equilibrium.prm"),
+                      N=32, M=4)
+    tables, _, _ = transport.build_tables(cfg)
+    fe = fs.FastEngine(cfg, tables, dtype=jnp.float64, chunk=32)
+    Bh, blk = fe.Bh, 32
+    col = lax.broadcasted_iota(jnp.int32, (Bh, blk), 1)
+    m_ref = _FakeRef(ps._scan_masks(blk))
+    mrev_ref = _FakeRef(pa._rev_scan_masks(blk))
+
+    kc0 = fe.kcs[kind]
+    packed = np.concatenate(
+        [np.asarray(c)[0, :, :, :] for c in
+         (kc0.w, kc0.T0, kc0.q, kc0.inv_det, kc0.a, kc0.Sbase, kc0.c1,
+          kc0.c0, kc0.k_ee, kc0.k_p)], -1)
+    coef = jnp.asarray(packed[0], jnp.float64)
+
+    rng = np.random.default_rng(3)
+
+    def rand(shape):
+        return jnp.asarray(rng.uniform(0.3, 2.0, shape))
+
+    planes = [rand((Bh, blk)) for _ in range(6)]
+    small = [rand((Bh, 1)) for _ in range(3)]
+
+    def fwd(*args):
+        (e0, e1, p0, p1, h0, h1, c_in, pt, ht, cf) = args
+        kc = ps._Coef(*(cf[:, k:k + 1] for k in range(ps._NCOEF)))
+        o0, o1, pr = pa._substep_vals(kind, kc, col, blk, m_ref, e0, e1,
+                                      p0, p1, h0, h1, c_in, pt, ht, None)
+        return o0, o1, pr.carry_out
+
+    primals = tuple(planes) + tuple(small) + (coef,)
+    _, vjp = jax.vjp(fwd, *primals)
+    cot = (rand((Bh, blk)), rand((Bh, blk)), rand((Bh, 1)))
+    want = vjp(cot)
+
+    kc = ps._Coef(*(coef[:, k:k + 1] for k in range(ps._NCOEF)))
+    _, _, pr = pa._substep_vals(kind, kc, col, blk, m_ref, *primals[:-1],
+                                None)
+    got = pa._substep_adj(kind, kc, col, blk, mrev_ref, pr, *planes,
+                          cot[0], cot[1], cot[2], None)
+    gots = [got.e0, got.e1, got.p0, got.p1, got.h0, got.h1, got.c_in,
+            got.ptail, got.htail, got.coef]
+    for w, g in zip(want, gots):
+        w, g = np.asarray(w), np.asarray(g)
+        scale = np.abs(w).max() + 1e-300
+        assert np.abs(w - g).max() / scale < 1e-13
+
+
+def _grad_pair(cfg, steps, params):
+    tables, _, _ = transport.build_tables(cfg)
+    sf_fast = adjoint.make_diff_solve_fast(cfg, tables, num_steps=steps)
+    sf_pal = pa.make_diff_solve_pallas(cfg, tables, num_steps=steps)
+
+    def loss(solve):
+        return lambda p: jnp.sum(solve(p, None).ends ** 2) * 1e-2
+
+    vf, gf = jax.value_and_grad(loss(sf_fast))(params)
+    vp, gp = jax.value_and_grad(loss(sf_pal))(params)
+    return (float(vf), gf), (float(vp), gp)
+
+
+def _assert_close(gf, gp, key, tol):
+    a, b = np.asarray(gf[key]), np.asarray(gp[key])
+    scale = np.abs(a).max() + 1e-300
+    assert np.abs(a - b).max() / scale < tol, (
+        key, np.abs(a - b).max() / scale)
+
+
+@pytest.mark.parametrize("ts_method,bc_left", [
+    (1, 1), (2, 1), (3, 1), (1, 2), (3, 2),
+])
+def test_gray_grads_match_fast_adjoint(ts_method, bc_left):
+    src = ((2.0,),) * 4    # off-equilibrium: O(1) kappa sensitivity
+    cfg = load_config(conftest.reference_deck("single_group.prm"),
+                      M=4, N=64, X=0.64, ts_method=ts_method,
+                      max_timesteps=3, bc_left_indicator=bc_left,
+                      psi_source=src)
+    params = dict(
+        kappa=jnp.asarray(np.full(cfg.G, cfg.kappa_grey), jnp.float64),
+        psi_source=jnp.asarray(np.asarray(src, np.float64)),
+    )
+    (vf, gf), (vp, gp) = _grad_pair(cfg, 3, params)
+    assert abs(vp - vf) / abs(vf) < 1e-5
+    _assert_close(gf, gp, "kappa", 2e-3)
+    _assert_close(gf, gp, "psi_source", 1e-4)
+
+
+def test_multigroup_correction_grads():
+    cfg = load_config(conftest.reference_deck("multi_group_equilibrium.prm"),
+                      N=64, max_timesteps=3)
+    tables, _, _ = transport.build_tables(cfg)
+    params = dict(
+        kappa=jnp.asarray(np.asarray(tables.kappa, np.float64)),
+        rho=jnp.asarray(np.full(cfg.G, cfg.rho), jnp.float64),
+    )
+    (vf, gf), (vp, gp) = _grad_pair(cfg, 3, params)
+    assert abs(vp - vf) / abs(vf) < 1e-5
+    _assert_close(gf, gp, "kappa", 2e-3)
+    _assert_close(gf, gp, "rho", 2e-3)
+
+
+def test_temperature_grad():
+    cfg = load_config(conftest.reference_deck("single_group.prm"),
+                      M=4, N=64, X=0.64, max_timesteps=3,
+                      bc_left_indicator=1, psi_source=((2.0,),) * 4)
+    params = dict(T=jnp.asarray(1.0, jnp.float64))
+    (vf, gf), (vp, gp) = _grad_pair(cfg, 3, params)
+    assert abs(vp - vf) / abs(vf) < 1e-5
+    _assert_close(gf, gp, "T", 2e-3)
+
+
+def test_initial_state_grad_flows():
+    """d loss / d initial State through the kernel step chain."""
+    cfg = load_config(conftest.reference_deck("single_group.prm"),
+                      M=4, N=64, X=0.64, max_timesteps=2)
+    tables, _, _ = transport.build_tables(cfg)
+    sf_fast = adjoint.make_diff_solve_fast(cfg, tables, num_steps=2)
+    sf_pal = pa.make_diff_solve_pallas(cfg, tables, num_steps=2)
+    state0 = adjoint.traced_initial_state(cfg, tables)
+
+    def loss(solve):
+        return lambda st: jnp.sum(solve({}, st).ends ** 2)
+
+    gf = jax.grad(loss(sf_fast))(state0)
+    gp = jax.grad(loss(sf_pal))(state0)
+    for name in ("ends", "prev_ends", "half_ends"):
+        a = np.asarray(getattr(gf, name))
+        b = np.asarray(getattr(gp, name))
+        scale = np.abs(a).max() + 1e-300
+        assert np.abs(a - b).max() / scale < 1e-4, name

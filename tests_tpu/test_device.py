@@ -173,3 +173,33 @@ def test_fused_exchange_engine_compiles(workload):
     prev, half = eng.prev_half_ends(st)
     assert np.isfinite(np.asarray(prev)).all()
     assert np.isfinite(np.asarray(half)).all()
+
+
+def test_pallas_adjoint_grads_on_chip():
+    """The analytic reverse kernel through real Mosaic: value + kappa/
+    psi_source gradients of a short solve match the f64 XLA adjoint at
+    f32-grade bars (ops/pallas_adjoint.py, VERDICT r3 #6)."""
+    from radiative_transfer_tpu import adjoint
+    from radiative_transfer_tpu.config.config import Config
+    from radiative_transfer_tpu.ops import pallas_adjoint as pa
+
+    cfg = _cfg(M=4, G=2, N=1024, steps=3, bc_left=1)
+    tables, _, _ = transport.build_tables(cfg)
+    sf_fast = adjoint.make_diff_solve_fast(cfg, tables, num_steps=3)
+    sf_pal = pa.make_diff_solve_pallas(cfg, tables, num_steps=3)
+
+    params = dict(
+        kappa=jnp.asarray(np.full(cfg.G, cfg.kappa_grey), jnp.float64),
+        psi_source=jnp.asarray(np.asarray(cfg.psi_source, np.float64)),
+    )
+
+    def loss(solve):
+        return lambda p: jnp.sum(solve(p, None).ends ** 2) * 1e-2
+
+    vf, gf = jax.value_and_grad(loss(sf_fast))(params)
+    vp, gp = jax.value_and_grad(loss(sf_pal))(params)
+    assert abs(float(vp) - float(vf)) / abs(float(vf)) < 1e-5
+    for k in params:
+        a, b = np.asarray(gf[k]), np.asarray(gp[k])
+        scale = np.abs(a).max() + 1e-300
+        assert np.abs(a - b).max() / scale < 2e-3, k
