@@ -92,13 +92,28 @@ def _to_plane(x: np.ndarray, Mh: int, G: int) -> np.ndarray:
     return x.reshape(2, Mh, G).reshape(2, Mh * G)
 
 
-def _pick_chunk(N: int, chunk: int) -> int:
+def _pick_chunk(N: int, chunk: int) -> Tuple[int, int]:
+    """(chunk, N_pad): in-chunk length and padded cell count.
+
+    Prefers an exact divisor of N near the requested size (no padding).
+    When N has no usable power-of-two divisor (odd/prime N), PADS to the
+    next chunk multiple instead of degrading: chunk=1 would collapse the
+    two-level scan into a sequential lax.scan over all N cells (VERDICT
+    r3 #7 — a silent ~100x cliff). Pad cells sit at the sweep-DOWNSTREAM
+    end of each half, so no real cell's result can change (the sweep
+    recurrence only flows downstream); the reflective outflow is read
+    positionally at the last REAL cell (FastEngine.inflow)."""
     if N % chunk == 0 and N // chunk >= 2:
-        return chunk
+        return chunk, N
     c = 1
     while N % (c * 2) == 0 and c * 2 <= max(16, N // 4):
         c *= 2
-    return c
+    if c >= min(16, chunk):
+        return c, N
+    half_pow2 = 1 << max(0, (max(N // 4, 1)).bit_length() - 1)
+    c = max(min(16, N), min(chunk, half_pow2))
+    n_pad = -(-N // c) * c
+    return c, n_pad
 
 
 def _shift1_tiled(x: jnp.ndarray) -> jnp.ndarray:
@@ -257,8 +272,14 @@ class FastEngine:
         self.cfg = cfg
         self.tables = tables
         self.dtype = dtype
-        self.chunk = _pick_chunk(cfg.N, chunk)
-        self.nc = cfg.N // self.chunk
+        self.chunk, self.N_pad = _pick_chunk(cfg.N, chunk)
+        self.nc = self.N_pad // self.chunk
+        self.pad = self.N_pad - cfg.N
+        # Tiled position of the last REAL cell (j = i*chunk + t): the
+        # reflective outflow reads the scan prefix here, bypassing the
+        # pad cells (inflow()).
+        self._t_last = (cfg.N - 1) % self.chunk
+        self._i_last = (cfg.N - 1) // self.chunk
         self.unroll = unroll
         Mh, G = cfg.M // 2, cfg.G
         self.Bh = Mh * G
@@ -299,14 +320,21 @@ class FastEngine:
     # -- layout conversion ---------------------------------------------------
 
     def tile(self, flat: jnp.ndarray) -> jnp.ndarray:
-        """(2, Bh, N) sweep-order plane -> tiled (chunk, 2, Bh, nc)."""
+        """(2, Bh, N or N_pad) sweep-order plane -> tiled
+        (chunk, 2, Bh, nc). Length-N inputs are zero-padded at the
+        sweep-downstream end (pad cells never influence real cells)."""
+        if self.pad and flat.shape[-1] == self.cfg.N:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros(flat.shape[:-1] + (self.pad,),
+                                 flat.dtype)], axis=-1)
         x = flat.reshape(2, self.Bh, self.nc, self.chunk)
         return jnp.transpose(x, (3, 0, 1, 2))
 
     def untile(self, tiled: jnp.ndarray) -> jnp.ndarray:
-        """tiled (chunk, 2, Bh, nc) -> (2, Bh, N) sweep-order plane."""
+        """tiled (chunk, 2, Bh, nc) -> (2, Bh, N_pad) sweep-order plane
+        (== N when unpadded; ends_pair drops the pad cells)."""
         x = jnp.transpose(tiled, (1, 2, 3, 0))
-        return x.reshape(2, self.Bh, self.cfg.N)
+        return x.reshape(2, self.Bh, self.N_pad)
 
     def from_ends(self, ends, prev, half) -> FlatState:
         """Global (M, G, N, 2) arrays -> tiled FlatState."""
@@ -330,14 +358,16 @@ class FastEngine:
         return FlatState(e0, e1, p0, p1, h0, h1)
 
     def ends_pair(self, x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
-        """Tiled edge planes -> global (M, G, N, 2)."""
+        """Tiled edge planes -> global (M, G, N, 2). Pad cells (sweep-
+        downstream: physically left of cell 0 for mu<0, right of N-1 for
+        mu>0) are dropped."""
         cfg = self.cfg
         Mh, G, N = cfg.M // 2, cfg.G, cfg.N
         f0, f1 = self.untile(x0), self.untile(x1)
-        neg0 = jnp.flip(f1[0], axis=-1).reshape(Mh, G, N)
-        neg1 = jnp.flip(f0[0], axis=-1).reshape(Mh, G, N)
-        pos0 = f0[1].reshape(Mh, G, N)
-        pos1 = f1[1].reshape(Mh, G, N)
+        neg0 = jnp.flip(f1[0], axis=-1)[..., self.pad:].reshape(Mh, G, N)
+        neg1 = jnp.flip(f0[0], axis=-1)[..., self.pad:].reshape(Mh, G, N)
+        pos0 = f0[1][..., :N].reshape(Mh, G, N)
+        pos1 = f1[1][..., :N].reshape(Mh, G, N)
         neg = jnp.stack([neg0, neg1], axis=-1)
         pos = jnp.stack([pos0, pos1], axis=-1)
         return jnp.concatenate([neg, pos], axis=0)
@@ -438,20 +468,32 @@ class FastEngine:
         return pb, pow_t, EXa, EXb, a_powN, tot_b
 
     def inflow(self, kind: int, a_powN: jnp.ndarray, tot_b: jnp.ndarray,
-               kc=None, bc=None):
+               kc=None, bc=None, scan=None):
         """Effective inflow per half given the GLOBAL total composite. The
         mu>0 reflective inflow is the mu<0 half's outflow = its composite
         applied to its own inflow (solver.cpp:679-683). `bc` overrides the
         (bc_neg, bc_pos_fixed) value planes (the differentiable path
         passes traced boundary sources); the reflective-vs-fixed STRUCTURE
-        stays the engine's (it is a static cfg property)."""
+        stays the engine's (it is a static cfg property).
+
+        With internal padding (N_pad > N) the composite total runs past
+        the last real cell, so the reflective outflow is instead read
+        POSITIONALLY from the scan prefix at cell N-1 — `scan` must then
+        be the local_scan outputs (pb, pow_t, EXa, EXb)."""
         if kc is None:
             kc = self.kcs[kind]
         bc_neg, bc_pos_fixed = (self.bc_neg, self.bc_pos_fixed) \
             if bc is None else bc
         init_neg = kc.s * bc_neg                           # (Bh,)
         if self.bc_pos_fixed is None:
-            out_neg = a_powN[0, :, 0] * init_neg + tot_b[0, :, 0]
+            if self.pad:
+                assert scan is not None, "padded reflective needs scan="
+                pb, pow_t, EXa, EXb = scan
+                t, i = self._t_last, self._i_last
+                ex_neg = EXa[0, :, i] * init_neg + EXb[0, :, i]
+                out_neg = pow_t[t, 0, :, 0] * ex_neg + pb[t, 0, :, i]
+            else:
+                out_neg = a_powN[0, :, 0] * init_neg + tot_b[0, :, 0]
             bc_pos = out_neg[self.refl_flip]
         else:
             bc_pos = bc_pos_fixed
@@ -482,7 +524,8 @@ class FastEngine:
                 bc=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         r0, r1, b = self.rhs(kind, st, kc=kc)
         pb, pow_t, EXa, EXb, a_powN, tot_b = self.local_scan(kind, b, kc=kc)
-        incoming = self.inflow(kind, a_powN, tot_b, kc=kc, bc=bc)
+        incoming = self.inflow(kind, a_powN, tot_b, kc=kc, bc=bc,
+                               scan=(pb, pow_t, EXa, EXb))
         return self.finish(kind, r0, r1, pb, pow_t, EXa, EXb, incoming,
                            kc=kc)
 

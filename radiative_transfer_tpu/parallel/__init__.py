@@ -85,7 +85,22 @@ def make_multichip_engine(cfg, tables, mesh, engine: str = "auto",
             except ValueError:
                 pass  # infeasible (creep bound / odd N): plain engine
         kw = _filter_kwargs(pallas_sweep.PallasEngine.__init__, kw)
-        return pallas_sweep.PallasEngine(cfg, tables, **kw)
+        eng = pallas_sweep.PallasEngine(cfg, tables, **kw)
+        if eng.nblocks == 1 and eng.Bh * eng.block > (1 << 19):
+            # Awkward (odd) N with no power-of-two block falls back to a
+            # single whole-N block; beyond ~2^19 f32 elements the fused
+            # kernel's ~8 live planes exceed scoped VMEM and Mosaic
+            # refuses. The XLA fast engine pads N internally (masked
+            # sweep-downstream tail, fast_sweep._pick_chunk) and stays
+            # log-depth at any N.
+            import jax.numpy as jnp
+
+            from ..ops import fast_sweep
+
+            fkw = _filter_kwargs(fast_sweep.FastEngine.__init__, kw)
+            fkw.setdefault("dtype", jnp.float32)
+            return fast_sweep.FastEngine(cfg, tables, **fkw)
+        return eng
     from . import fused_exchange, halo_pallas, sharded_pallas
 
     if engine == "halo":

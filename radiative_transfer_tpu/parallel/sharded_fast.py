@@ -89,6 +89,12 @@ class ShardedFastEngine:
         chunk = min(chunk, cfg.N)
         while chunk > 1 and (cfg.N % chunk or (cfg.N // chunk) % self.K):
             chunk -= 1
+        valid = cfg.N % chunk == 0 and (cfg.N // chunk) % self.K == 0
+        if valid and chunk < min(8, cfg.N // max(self.K, 1)):
+            raise ValueError(
+                f"N={cfg.N} over {self.K} spatial shards admits only a "
+                f"degenerate chunking (chunk={chunk} serialises the scan); "
+                "choose N with a power-of-two factor per shard")
         self.eng = fs.FastEngine(cfg, tables, dtype=dtype, chunk=chunk,
                                  unroll=unroll)
         assert self.eng.nc % self.K == 0, (

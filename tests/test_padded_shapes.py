@@ -1,0 +1,131 @@
+"""Shape robustness: awkward (odd/prime) N must not silently degrade.
+
+VERDICT r3 #7: FastEngine's chunk picker used to return chunk=1 for
+prime N — the two-level scan silently collapsed into a sequential
+lax.scan over all N cells (~100x). The engine now pads N internally to
+a chunk multiple: pad cells sit at the sweep-downstream end of each
+half (they cannot influence any real cell), and the reflective outflow
+is read positionally at the last real cell. These tests pin both the
+CORRECTNESS of the padded path (vs the general per-cell solver, every
+integrator and boundary kind) and the PERFORMANCE guardrail (prime N
+within ~2x of the neighbouring power of two)."""
+
+import time
+
+import conftest  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radiative_transfer_tpu import load_config
+from radiative_transfer_tpu.models import transport
+from radiative_transfer_tpu.ops import fast_sweep as fs
+
+
+def _general_ends(cfg, steps):
+    tables, _, _ = transport.build_tables(cfg)
+    state = transport.initial_state(cfg, tables)
+    state = transport.solve(cfg, tables, state, steps)
+    return tables, np.asarray(state.ends)
+
+
+def _fast_ends(cfg, tables, steps, chunk=256):
+    eng = fs.FastEngine(cfg, tables, dtype=jnp.float64, chunk=chunk)
+    return eng, np.asarray(eng.ends(eng.solve(num_steps=steps)))
+
+
+@pytest.mark.parametrize("N", [53, 101, 127])
+@pytest.mark.parametrize("ts_method", [1, 3])
+def test_padded_matches_general_reflective(N, ts_method):
+    """Prime/odd N, reflective-left gray deck (the positional-outflow
+    read), vs the general engine at f64 roundoff."""
+    cfg = load_config(conftest.reference_deck("single_group.prm"),
+                      M=4, N=N, X=N * 0.01, ts_method=ts_method,
+                      max_timesteps=3)
+    tables, ref = _general_ends(cfg, 3)
+    eng, got = _fast_ends(cfg, tables, 3)
+    assert eng.pad > 0, (eng.chunk, eng.N_pad)   # the padded path ran
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-12
+
+
+def test_padded_matches_general_source_bc():
+    cfg = load_config(conftest.reference_deck("single_group.prm"),
+                      M=4, N=101, X=1.01, max_timesteps=3,
+                      bc_left_indicator=1)
+    tables, ref = _general_ends(cfg, 3)
+    eng, got = _fast_ends(cfg, tables, 3)
+    assert eng.pad > 0
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-12
+
+
+def test_padded_multigroup_correction():
+    cfg = load_config(conftest.reference_deck("multi_group_equilibrium.prm"),
+                      N=97, max_timesteps=3)
+    tables, ref = _general_ends(cfg, 3)
+    eng, got = _fast_ends(cfg, tables, 3)
+    assert eng.pad > 0
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-12
+
+
+def test_padded_from_ends_round_trip():
+    """from_ends -> ends through the padded layout is the identity on
+    the real cells."""
+    cfg = load_config(conftest.reference_deck("single_group.prm"),
+                      M=4, N=53, X=0.53, max_timesteps=2)
+    tables, _, _ = transport.build_tables(cfg)
+    eng = fs.FastEngine(cfg, tables, dtype=jnp.float64)
+    rng = np.random.default_rng(11)
+    shape = (cfg.M, cfg.G, cfg.N, 2)
+    ends = rng.uniform(0.5, 4.0, shape)
+    prev = rng.uniform(0.5, 4.0, shape)
+    half = rng.uniform(0.5, 4.0, shape)
+    st = eng.from_ends(jnp.asarray(ends), jnp.asarray(prev),
+                       jnp.asarray(half))
+    assert np.array_equal(np.asarray(eng.ends(st)), ends)
+    back_p = np.asarray(eng.ends_pair(st.p0, st.p1))
+    assert np.array_equal(back_p, prev)
+
+
+def test_prime_n_within_2x_of_pow2():
+    """The guardrail: N=4099 (prime) runs within ~2x of N=4096. A
+    regression to the sequential scan costs ~100x, so the bound is
+    generous against CI timing noise while still catching the cliff."""
+    def best_time(N):
+        cfg = load_config(conftest.reference_deck("single_group.prm"),
+                          M=8, N=N, X=N * 0.01, max_timesteps=4)
+        tables, _, _ = transport.build_tables(cfg)
+        eng = fs.FastEngine(cfg, tables, dtype=jnp.float64)
+        st = eng.init_state()
+        out = eng.solve(st, num_steps=4)          # compile + warm
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(eng.solve(st, num_steps=4))
+            best = min(best, time.perf_counter() - t0)
+        return best, eng
+
+    t_pow2, _ = best_time(4096)
+    t_prime, eng = best_time(4099)
+    assert eng.pad > 0 and eng.chunk >= 16, (eng.chunk, eng.N_pad)
+    assert t_prime < 3.0 * t_pow2, (t_prime, t_pow2)
+
+
+def test_auto_large_odd_n_falls_back_to_fast():
+    """Single-chip auto selection: a large odd N has no power-of-two
+    Pallas block — whole-N blocking would blow scoped VMEM, so auto must
+    route to the (padded, log-depth) XLA fast engine instead of handing
+    Mosaic an infeasible kernel."""
+    from radiative_transfer_tpu import parallel
+
+    cfg = load_config(conftest.reference_deck("single_group.prm"),
+                      M=32, N=100001, X=1000.01, max_timesteps=2)
+    tables, _, _ = transport.build_tables(cfg)
+    eng = parallel.make_multichip_engine(cfg, tables, None, platform="tpu")
+    assert isinstance(eng, fs.FastEngine)
+    assert eng.pad > 0 and eng.chunk >= 16
