@@ -150,6 +150,38 @@ def run_case(engine, cfg, dtype_name, mesh_str="1x1", scan_tol=1e-10):
         def run(s):
             return eng.solve(s, num_steps=steps)
 
+    elif engine == "df":
+        # Double-float (f64-grade) fused kernel (ops/df_sweep.py): the
+        # reference-precision path at kernel rate.
+        from radiative_transfer_tpu.ops.df_sweep import DFPallasEngine
+
+        eng = DFPallasEngine(cfg, tables, scan_tol=scan_tol)
+        K = min(eng.max_steps_per_launch(), steps)
+        while steps % K:
+            K //= 2
+        state = eng.init_state()
+
+        @jax.jit
+        def run(s):
+            return lax.fori_loop(
+                0, steps // K, lambda _, x: eng.multi_step(x, K), s
+            )
+
+    elif engine == "fused-exchange":
+        # Single-exchange fused-cycle mesh engine (the untruncatable-
+        # regime fallback); at --mesh 1x1 this bounds its second-cycle
+        # overhead vs plain pallas.
+        from radiative_transfer_tpu.parallel.fused_exchange import (
+            FusedExchangeEngine,
+        )
+
+        eng = FusedExchangeEngine(cfg, tables, _mk_mesh(mesh_str),
+                                  scan_tol=scan_tol)
+        state = eng.init_state()
+
+        def run(s):
+            return eng.solve(s, num_steps=steps)
+
     elif engine == "pallas":
         from radiative_transfer_tpu.ops.pallas_sweep import PallasEngine
 
@@ -253,11 +285,13 @@ def main():
     rows = []
     for name, M, G, N, steps, corr, tol, fam_mult in cases:
         for engine in engines:
-            fam = "pallas" in engine or engine == "auto"
+            fam = ("pallas" in engine or engine == "auto"
+                   or engine in ("df", "fused-exchange"))
             if fam and not on_tpu and N > (1 << 14):
                 continue  # interpreter too slow for big cases
-            if "full-scan" in name and "pallas" not in engine:
-                continue  # the control row only varies the pallas scan
+            if "full-scan" in name and "pallas" not in engine \
+                    and engine not in ("df", "fused-exchange"):
+                continue  # the control row only varies the kernel scans
             if "full-scan" in name and engine == "halo-pallas":
                 continue  # scan_tol=0 fails the creep bound by design
             dtypes = ["float32"] if fam else ["float32", "float64"]

@@ -467,6 +467,11 @@ def _run(args, cfg, dtype):
             args.engine = "df"
             print("auto engine: df (single chip, double-float kernel)")
     if args.mesh:
+        if args.engine == "df":
+            raise SystemExit(
+                "--engine df is single-chip (the double-float kernel has "
+                "no mesh decomposition yet); f64-grade mesh runs use "
+                "--engine fast/general with --mesh")
         return _run_sharded(args, cfg, dtype)
     if args.engine in ("fast", "pallas", "df", "auto"):
         tables, grid, ct = transport.build_tables(cfg, dtype=jnp.float64)

@@ -246,3 +246,10 @@ def test_df_engine_checkpoint_resume(tmp_path):
         # checkpoints round the df pair through f64 arrays -> reseeding
         # costs at most the double-float representation error
         assert np.abs(a - b).max() / scale < 1e-11, name
+
+
+def test_df_engine_refuses_mesh(tmp_path):
+    deck = _deck(tmp_path, steps=2, N=64)
+    with pytest.raises(SystemExit, match="single-chip"):
+        cli.main([deck, "--outdir", str(tmp_path), "--engine", "df",
+                  "--mesh", "1x2"])
