@@ -395,7 +395,13 @@ def _run_ensemble(args, cfg, dtype, is_p0) -> int:
     if args.engine == "general":
         final = ensemble.solve_ensemble(cfg, tables, params)
     else:
-        eng_name = {"auto": "auto", "pallas": "single", "fast": "fast"}
+        eng_name = {"auto": "auto", "pallas": "single", "fast": "fast",
+                    "df": "df"}
+        if args.engine not in eng_name:
+            print(f"--ensemble-kappa supports engines "
+                  f"{sorted(eng_name)} (got {args.engine!r})",
+                  file=sys.stderr)
+            return 2
         kw = ({"dtype": dtype} if args.engine == "fast"
               else {"scan_tol": args.scan_tol})
         final = ensemble.solve_ensemble_stacked(

@@ -299,6 +299,12 @@ def solve_ensemble_stacked(
         from .ops.fast_sweep import FastEngine
 
         eng = FastEngine(cfg_s, tables_s, **engine_kw)
+    elif mesh is None and engine == "df":
+        # f64-grade stacked ensembles at kernel rate (ops/df_sweep.py;
+        # single-chip — the df kernel has no mesh decomposition).
+        from .ops.df_sweep import DFPallasEngine
+
+        eng = DFPallasEngine(cfg_s, tables_s, **engine_kw)
     else:
         from .parallel import make_multichip_engine
 

@@ -232,3 +232,30 @@ def test_vmap_ensemble_fast_solver_matches_general():
         solver="fast")
     np.testing.assert_allclose(
         np.asarray(got.ends), np.asarray(ref.ends), rtol=1e-12, atol=1e-14)
+
+
+def test_stacked_ensemble_df_engine():
+    """engine='df' runs the stacked ensemble on the double-float kernel:
+    each member matches its own f64 general solve at f64-grade drift
+    (1e-11 — five orders tighter than the f32 stacked path's 1e-5)."""
+    import conftest
+    from radiative_transfer_tpu import load_config
+
+    cfg = load_config(conftest.reference_deck("single_group.prm"),
+                      M=4, N=64, X=0.64, max_timesteps=3)
+    tables, _, _ = transport.build_tables(cfg)
+    kappas = np.array([[0.6], [1.0], [1.7]])
+    params = {"kappa": jnp.asarray(kappas)}
+
+    out = ensemble.solve_ensemble_stacked(cfg, tables, params,
+                                          num_steps=3, engine="df")
+    for k, kap in enumerate(kappas):
+        cfg_k = cfg.replace(kappa_grey=float(kap[0]))
+        tab_k, _, _ = transport.build_tables(cfg_k)
+        from radiative_transfer_tpu.ops.fast_sweep import FastEngine
+
+        fe = FastEngine(cfg_k, tab_k, dtype=jnp.float64)
+        ref = np.asarray(fe.ends(fe.solve(num_steps=3)))
+        got = np.asarray(out.ends[k])
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1e-11, k
