@@ -52,7 +52,10 @@ def main():
     def timed(build, run):
         eng = build()
         st = run(eng)                        # compile + warm
-        jax.block_until_ready(st)
+        leaf = jax.tree_util.tree_leaves(st)[0]
+        float(jnp.max(jnp.abs(leaf)))        # D2H drain: the axon tunnel
+        # is fire-and-forget before the first device->host read
+        # (benchmarks/timing.py protocol; docs/PERFORMANCE.md).
         t0 = time.perf_counter()
         st = run(eng)
         jax.block_until_ready(st)
@@ -79,14 +82,19 @@ def main():
     print(f"double-float   : {td * 1e3:7.1f} ms   drift {drift_d:.2e}"
           f"   ({t64 / td:.1f}x the f64 engine)")
 
-    # 4. Kernel-rate gradients: recover a perturbed opacity.
+    # 4. Kernel-rate gradients: recover a perturbed opacity. The target
+    # comes from a plain (non-differentiable) solve at the perturbed
+    # kappa — cheap to compile, same physics.
     from radiative_transfer_tpu import adjoint
 
-    target = adjoint.make_diff_solve_fast(cfg, tables, num_steps=8)(
-        {"kappa": jnp.asarray([cfg.kappa_grey * 1.3])}, None)
+    cfg_t = cfg.replace(kappa_grey=cfg.kappa_grey * 1.3,
+                        max_timesteps=8)
+    tab_t, _, _ = transport.build_tables(cfg_t)
+    fe_t = FastEngine(cfg_t, tab_t, dtype=jnp.float64)
+    target_ends = fe_t.ends(fe_t.solve(num_steps=8))
 
     def loss(state, params):
-        return jnp.mean((state.ends - target.ends) ** 2)
+        return jnp.mean((state.ends - target_ends) ** 2)
 
     params, hist = adjoint.fit_params(
         cfg, tables, None, loss,
