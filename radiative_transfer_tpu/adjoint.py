@@ -405,10 +405,14 @@ def fit_params(
     import optax
 
     opt = optax.adam(learning_rate) if optimizer is None else optimizer
-    from .ops.pallas_adjoint import make_diff_solve_pallas
+    if solver == "pallas":
+        # Imported lazily: the general/fast solvers must not depend on
+        # the experimental Pallas backend being importable.
+        from .ops.pallas_adjoint import make_diff_solve_pallas
 
-    make = {"general": make_diff_solve, "fast": make_diff_solve_fast,
-            "pallas": make_diff_solve_pallas}
+        make = {"pallas": make_diff_solve_pallas}
+    else:
+        make = {"general": make_diff_solve, "fast": make_diff_solve_fast}
     if solver not in make:
         raise ValueError(
             f"unknown solver {solver!r} (general/fast/pallas)")

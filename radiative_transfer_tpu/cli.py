@@ -267,7 +267,7 @@ def main(argv=None) -> int:
     # The halo engine is inherently mesh-based, so its implied mesh must
     # be materialised BEFORE this gate (a multi-process `--engine halo`
     # run with no --mesh still needs the coordinator wired).
-    if args.engine == "halo" and not args.mesh:
+    if args.engine in ("halo", "fused") and not args.mesh:
         args.mesh = "1x1"
     if args.mesh:
         from .parallel import distributed
@@ -466,9 +466,17 @@ def _run(args, cfg, dtype):
         # tiled XLA engine off-TPU (the interpreter would lose badly).
         import jax as _jax
 
+        from .ops.df_sweep import whole_n_feasible
+
         if _jax.devices()[0].platform == "cpu":
             args.engine = "fast"
             print("auto engine: fast (single chip, float64, off-TPU)")
+        elif not whole_n_feasible(cfg):
+            # Awkward N: the df kernel would need a VMEM-infeasible
+            # whole-N block; the padded XLA engine handles any N.
+            args.engine = "fast"
+            print("auto engine: fast (single chip, float64; N has no "
+                  "Pallas-friendly block)")
         else:
             args.engine = "df"
             print("auto engine: df (single chip, double-float kernel)")

@@ -15,15 +15,16 @@ inside Pallas kernel bodies, under jit, and in interpret mode on CPU.
 Host-side packing helpers produce the (hi, lo, split-hi, split-lo)
 constant columns the kernels consume.
 
-Op-cost notes (per element): two_sum 6, split 3, mul_cv ~10. The
-df_sweep kernels keep these off the hot path wherever possible — the
-design computes *solves* in plain f32 and spends double-float ops only
-on the residual of the exact equations (see ops/df_sweep.py).
+Op-cost notes (per element): two_sum 6, split 3, captured product ~10
+(df_sweep._cap). The df_sweep kernels keep these off the hot path
+wherever possible — the design computes *solves* in plain f32 and
+spends double-float ops only on the residual of the exact equations
+(see ops/df_sweep.py).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,13 +53,6 @@ def two_sum(a, b):
     s = a + b
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
-    return s, e
-
-
-def quick_two_sum(a, b):
-    """Dekker fast-two-sum; REQUIRES |a| >= |b| (or a == 0). 3 flops."""
-    s = a + b
-    e = b - (s - a)
     return s, e
 
 
@@ -134,8 +128,8 @@ def prod_err(p, xh, xl, yh, yl):
 
 
 def two_prod(x, y):
-    """p + e == x*y exactly. ~17 flops (generic; prefer mul_cv with
-    precomputed constant splits on the hot path)."""
+    """p + e == x*y exactly. ~17 flops (generic; the kernels use
+    df_sweep._cap with precomputed constant splits on the hot path)."""
     xh, xl = split(x)
     yh, yl = split(y)
     p = x * y
@@ -150,49 +144,6 @@ class DFConst(NamedTuple):
     lo: jnp.ndarray
     hh: jnp.ndarray
     hl: jnp.ndarray
-
-
-def mul_cv(c: DFConst, v, vh, vl) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(c.hi + c.lo) * v for an f32 value v with split (vh, vl):
-    returns (p, e) with p + e == c.hi*v + c.lo*v to ~2^-48 relative
-    (the c.lo*v rounding is below the target precision). ~10 flops given
-    the shared value split."""
-    p = c.hi * v
-    e = prod_err(p, c.hh, c.hl, vh, vl) + c.lo * v
-    return p, e
-
-
-def mul_cdf(c: DFConst, vhi, vlo, vh, vl) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(c.hi + c.lo) * (vhi + vlo) for a double-float value whose hi part
-    has split (vh, vl). One extra flop over mul_cv for the c.hi*vlo
-    cross term (c.lo*vlo is below target precision)."""
-    p = c.hi * vhi
-    e = prod_err(p, c.hh, c.hl, vh, vl) + (c.lo * vhi + c.hi * vlo)
-    return p, e
-
-
-def acc(terms: Sequence[Tuple[jnp.ndarray, jnp.ndarray]]
-        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sum a list of (p, e) product pairs whose p-parts cancel massively
-    (a residual): the p-parts are distilled with an exact two_sum
-    cascade (their individual magnitudes dwarf the result, so plain
-    adds would wipe it out); the e-parts — already at result magnitude —
-    are accumulated with plain adds. Returns (s, err): s + err is the
-    sum to ~2^-24 of the RESIDUAL's own magnitude (~2^-48 of the
-    operands'), which is what the f32 correction solve needs."""
-    s, err = terms[0]
-    for p, e in terms[1:]:
-        s, e2 = two_sum(s, p)
-        err = err + (e + e2)
-    return s, err
-
-
-def df_add(ahi, alo, bhi, blo):
-    """Full double-float addition (Knuth), ~20 flops: used on cold paths
-    (state renormalisation), not in kernels."""
-    s, e = two_sum(ahi, bhi)
-    e = e + (alo + blo)
-    return quick_two_sum(s, e)
 
 
 def renorm(hi, delta):
@@ -222,16 +173,3 @@ def np_df(x64: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
-def np_const_cols(x64: np.ndarray) -> np.ndarray:
-    """f64 array (...,) -> stacked (..., 4) [hi, lo, hh, hl] columns for
-    a DFConst constant plane."""
-    hi, lo = np_df(x64)
-    hh, hl = np_split(hi)
-    return np.stack([hi, lo, hh, hl], axis=-1)
-
-
-def const_from_cols(cols) -> DFConst:
-    """Slice a (..., 4) column pack (jnp, inside a kernel) into DFConst
-    views shaped (..., 1)."""
-    return DFConst(cols[..., 0:1], cols[..., 1:2],
-                   cols[..., 2:3], cols[..., 3:4])

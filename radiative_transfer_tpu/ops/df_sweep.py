@@ -533,6 +533,22 @@ def _make_df_multistep_kernel(kind: int, *, Bh: int, blk: int,
     return kernel
 
 
+def whole_n_feasible(cfg: Config) -> bool:
+    """Cheap mirror of DFPallasEngine's block selection: False when N
+    admits no 128-multiple power-of-two block (odd / awkward N), forcing
+    a single whole-N block whose ~4x-the-f32-kernel live planes exceed
+    scoped VMEM. Auto selection (cli --engine auto --dtype float64)
+    routes such shapes to the padded XLA fast engine instead of handing
+    Mosaic an infeasible kernel."""
+    block = 2048
+    while block > 1 and (cfg.N % block != 0 or (block & (block - 1))):
+        block //= 2
+    if block % 128 != 0 and block != cfg.N:
+        block = cfg.N
+    Bh = (cfg.M // 2) * cfg.G
+    return not (block == cfg.N and Bh * cfg.N > (1 << 18))
+
+
 class DFState(NamedTuple):
     """Double-float sweep state: two FlatState pytrees of f32 planes
     (2, Bh, N), value = hi + lo.
@@ -595,10 +611,10 @@ class DFPallasEngine:
 
         # f32 coefficient/layout machinery (base + correction solves).
         self._fe = fs.FastEngine(cfg, tables, dtype=jnp.float32,
-                                 chunk=self.block)
+                                 chunk=self.block, pad=False)
         # f64 layout/conversion machinery (from_ends / ends diagnostics).
         self._fe64 = fs.FastEngine(cfg, tables, dtype=jnp.float64,
-                                   chunk=self.block)
+                                   chunk=self.block, pad=False)
 
         self.scan_npass = {
             kind: ps._scan_npass(

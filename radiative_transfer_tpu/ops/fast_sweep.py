@@ -92,7 +92,7 @@ def _to_plane(x: np.ndarray, Mh: int, G: int) -> np.ndarray:
     return x.reshape(2, Mh, G).reshape(2, Mh * G)
 
 
-def _pick_chunk(N: int, chunk: int) -> Tuple[int, int]:
+def _pick_chunk(N: int, chunk: int, pad: bool = True) -> Tuple[int, int]:
     """(chunk, N_pad): in-chunk length and padded cell count.
 
     Prefers an exact divisor of N near the requested size (no padding).
@@ -102,13 +102,19 @@ def _pick_chunk(N: int, chunk: int) -> Tuple[int, int]:
     r3 #7 — a silent ~100x cliff). Pad cells sit at the sweep-DOWNSTREAM
     end of each half, so no real cell's result can change (the sweep
     recurrence only flows downstream); the reflective outflow is read
-    positionally at the last REAL cell (FastEngine.inflow)."""
+    positionally at the last REAL cell (FastEngine.inflow).
+
+    ``pad=False`` pins N_pad == N unconditionally (any-divisor fallback):
+    the engines that reuse FastEngine purely for LAYOUT and coefficients
+    (Pallas/df/halo/fused/sharded wrappers, which manage their own N
+    decompositions and exchange planes of exactly N cells) must never
+    see a padded width."""
     if N % chunk == 0 and N // chunk >= 2:
         return chunk, N
     c = 1
     while N % (c * 2) == 0 and c * 2 <= max(16, N // 4):
         c *= 2
-    if c >= min(16, chunk):
+    if not pad or c >= min(16, chunk):
         return c, N
     half_pow2 = 1 << max(0, (max(N // 4, 1)).bit_length() - 1)
     c = max(min(16, N), min(chunk, half_pow2))
@@ -268,11 +274,11 @@ class FastEngine:
     """Compiled-friendly fused solver for one (Config, Tables) problem."""
 
     def __init__(self, cfg: Config, tables, dtype=jnp.float32,
-                 chunk: int = 256, unroll: int = 4):
+                 chunk: int = 256, unroll: int = 4, pad: bool = True):
         self.cfg = cfg
         self.tables = tables
         self.dtype = dtype
-        self.chunk, self.N_pad = _pick_chunk(cfg.N, chunk)
+        self.chunk, self.N_pad = _pick_chunk(cfg.N, chunk, pad)
         self.nc = self.N_pad // self.chunk
         self.pad = self.N_pad - cfg.N
         # Tiled position of the last REAL cell (j = i*chunk + t): the

@@ -806,7 +806,8 @@ class PallasEngine:
         self.nblocks = cfg.N // self.block
 
         # Reuse the XLA fast engine for coefficients, BCs and layout maps.
-        self._fe = fs.FastEngine(cfg, tables, dtype=jnp.float32, chunk=self.block)
+        self._fe = fs.FastEngine(cfg, tables, dtype=jnp.float32,
+                                 chunk=self.block, pad=False)
 
         # Accuracy-bounded scan truncation (see _scan_npass): per-kind
         # pass counts from the largest carry multiplier; the shared mask

@@ -129,7 +129,11 @@ def make_multichip_engine(cfg, tables, mesh, engine: str = "auto",
             return fused_exchange.FusedExchangeEngine(
                 cfg, tables, mesh, **fkw)
         except ValueError:
-            pass  # e.g. N not divisible by the shard count
+            # Same divisibility constraints as the per-substep engine,
+            # so this only fires for engine-specific limits; the final
+            # fallback raises a clear ValueError for genuinely
+            # un-shardable shapes (N % K != 0).
+            pass
     # Drop halo-only kwargs (e.g. steps_per_launch) so the fallback
     # constructor does not die on an unexpected keyword.
     kw = _filter_kwargs(sharded_pallas.ShardedPallasEngine.__init__, kw)

@@ -277,10 +277,15 @@ class FusedExchangeEngine:
 
         Mh, G = cfg.M // 2, cfg.G
         self.Bh = Mh * G
-        assert cfg.N % self.K == 0, (
-            f"N={cfg.N} does not split evenly over {self.K} spatial shards")
+        if cfg.N % self.K:
+            raise ValueError(
+                f"N={cfg.N} does not split evenly over {self.K} spatial "
+                "shards")
         self.N_loc = cfg.N // self.K
-        assert self.Bh % self.NG == 0
+        if self.Bh % self.NG:
+            raise ValueError(
+                f"batch rows Bh={self.Bh} not divisible by {self.NG} "
+                "group shards")
         self.Bh_l = self.Bh // self.NG
         self.rows = 2 * self.Bh_l
 
@@ -308,7 +313,7 @@ class FusedExchangeEngine:
         self.interpret = interpret
 
         self._fe = fs.FastEngine(cfg, tables, dtype=jnp.float32,
-                                 chunk=min(256, cfg.N))
+                                 chunk=min(256, cfg.N), pad=False)
         self.reflective = self._fe.bc_pos_fixed is None
         if self.reflective:
             self._refl_flip = np.asarray(self._fe.refl_flip)
@@ -508,26 +513,36 @@ class FusedExchangeEngine:
 
     # -- materialisation / state ---------------------------------------------
 
-    def _materialize(self, st: FXState):
-        """True (e0, e1, p0, p1, h0, h1) planes from the pending state:
-        current planes from (z, v), prev planes from (z_p, v_p), and
-        the current generation's half-plane corrections."""
+    def _materialize(self, st: FXState, full: bool = True):
+        """True planes from the pending state: current (e0, e1) from
+        (z, v) plus — when ``full`` — prev planes from (z_p, v_p) and
+        the current generation's half-plane corrections. ends() uses
+        full=False: diagnostics loops (e.g. --balance-every) would
+        otherwise pay a second correction-cycle launch for prev/half
+        planes they discard."""
         if self._mat_call is None:
             self._mat_call = self._build_call(materialize_only=True)
         if self._mat_fn is None:
-            def local(st, tb):
+            def local_full(st, tb):
                 e0, e1, hc0, hc1 = self._mat_call(
                     tb, st.v[:, :, 0, :], st.z0, st.z1)
                 p0, p1, _, _ = self._mat_call(
                     tb, st.vp[:, :, 0, :], st.z0p, st.z1p)
                 return e0, e1, p0, p1, st.h0 + hc0, st.h1 + hc1
 
-            self._mat_fn = jax.jit(shard_map(
-                local, mesh=self.mesh,
+            def local_ends(st, tb):
+                e0, e1, _, _ = self._mat_call(
+                    tb, st.v[:, :, 0, :], st.z0, st.z1)
+                return e0, e1
+
+            sm = lambda f, n: jax.jit(shard_map(
+                f, mesh=self.mesh,
                 in_specs=(self.state_spec, self._tb_specs),
-                out_specs=(self.plane_spec,) * 6, check_vma=False,
+                out_specs=(self.plane_spec,) * n, check_vma=False,
             ))
-        return self._mat_fn(st, self._tb)
+            self._mat_fn = {True: sm(local_full, 6),
+                            False: sm(local_ends, 2)}
+        return self._mat_fn[full](st, self._tb)
 
     def init_state(self) -> FXState:
         cfg = self.cfg
@@ -557,7 +572,7 @@ class FusedExchangeEngine:
                        put(u(t.p1)), put(u(t.h0)), put(u(t.h1)), v, v)
 
     def ends(self, st: FXState) -> jnp.ndarray:
-        e0, e1, *_ = self._materialize(st)
+        e0, e1 = self._materialize(st, full=False)
         return self._fe.ends_pair(self._fe.tile(e0), self._fe.tile(e1))
 
     def prev_half_ends(self, st: FXState):

@@ -157,7 +157,7 @@ class HaloPallasEngine:
 
         # -- coefficients / BCs (XLA fast engine hosts the algebra) --------
         self._fe = fs.FastEngine(cfg, tables, dtype=jnp.float32,
-                                 chunk=min(256, cfg.N))
+                                 chunk=min(256, cfg.N), pad=False)
         self.reflective = self._fe.bc_pos_fixed is None
         if self.reflective:
             self._refl_flip = np.asarray(self._fe.refl_flip)

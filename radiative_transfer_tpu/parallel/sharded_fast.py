@@ -96,7 +96,7 @@ class ShardedFastEngine:
                 f"degenerate chunking (chunk={chunk} serialises the scan); "
                 "choose N with a power-of-two factor per shard")
         self.eng = fs.FastEngine(cfg, tables, dtype=dtype, chunk=chunk,
-                                 unroll=unroll)
+                                 unroll=unroll, pad=False)
         assert self.eng.nc % self.K == 0, (
             f"no chunking of N={cfg.N} splits evenly over "
             f"{self.K} spatial shards (got chunk={self.eng.chunk})"

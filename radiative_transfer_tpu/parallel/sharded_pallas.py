@@ -135,13 +135,15 @@ class ShardedPallasEngine:
 
         Mh, G = cfg.M // 2, cfg.G
         self.Bh = Mh * G
-        assert cfg.N % self.K == 0, (
-            f"N={cfg.N} does not split evenly over {self.K} spatial shards"
-        )
+        if cfg.N % self.K:
+            raise ValueError(
+                f"N={cfg.N} does not split evenly over {self.K} spatial "
+                "shards")
         self.N_loc = cfg.N // self.K
-        assert self.Bh % self.NG == 0, (
-            f"batch rows Bh={self.Bh} not divisible by {self.NG} group shards"
-        )
+        if self.Bh % self.NG:
+            raise ValueError(
+                f"batch rows Bh={self.Bh} not divisible by {self.NG} "
+                "group shards")
         self.Bh_l = self.Bh // self.NG
 
         # Largest power-of-two block <= `block` dividing N_loc, under the
@@ -178,7 +180,7 @@ class ShardedPallasEngine:
         # Coefficients / BCs / layout converters from the XLA fast engine
         # (full-size planes; rows shard via the in_specs below).
         self._fe = fs.FastEngine(cfg, tables, dtype=jnp.float32,
-                                 chunk=min(256, cfg.N))
+                                 chunk=min(256, cfg.N), pad=False)
         self.reflective = self._fe.bc_pos_fixed is None
         if self.reflective:
             self._refl_flip = np.asarray(self._fe.refl_flip)

@@ -254,3 +254,19 @@ def test_cli_auto_single_chip(tmp_path, dtype, wants):
     assert out.returncode == 0, out.stderr[-2000:]
     assert any(w in out.stdout for w in wants), out.stdout[-2000:]
     assert "wrote 8 CSVs" in out.stdout
+
+
+def test_indivisible_mesh_raises_clear_valueerror(mesh8):
+    """No mesh engine can shard N=100 over 8 contiguous spatial shards;
+    auto must surface a CLEAR ValueError (review finding: the engines
+    used `assert`, so the guidance vanished under python -O and the
+    auto fallback chain mixed exception types)."""
+    cfg = _gray().replace(N=100)           # 100 % 8 != 0
+    tables, _, _ = transport.build_tables(cfg)
+    with pytest.raises(ValueError, match="split evenly"):
+        parallel.make_multichip_engine(cfg, tables, mesh8, block=4,
+                                       scan_tol=0.0, platform="tpu")
+    with pytest.raises(ValueError, match="split evenly"):
+        parallel.make_multichip_engine(cfg, tables, mesh8, block=4,
+                                       scan_tol=0.0, platform="tpu",
+                                       engine="fused")
