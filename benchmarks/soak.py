@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--steps", type=int, default=20480)
     ap.add_argument("--chunk", type=int, default=2048)
     ap.add_argument("--n-cells", type=int, default=1 << 12)
+    ap.add_argument("--engine", default="auto", choices=("auto", "df"),
+                    help="df: the double-float (f64-grade) kernel — the "
+                         "reference-precision soak")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -57,7 +60,12 @@ def main():
     cfg = load_config(deck, N=N, max_timesteps=args.steps,
                       dt=0.4 * (cfg0.X / N) / _C)
     tables, _, _ = transport.build_tables(cfg, dtype=jnp.float32)
-    eng = parallel.make_multichip_engine(cfg, tables, None)
+    if args.engine == "df":
+        from radiative_transfer_tpu.ops.df_sweep import DFPallasEngine
+
+        eng = DFPallasEngine(cfg, tables)
+    else:
+        eng = parallel.make_multichip_engine(cfg, tables, None)
     check = make_ends_checker()
     print(json.dumps({"deck": "llnl_slab_test", "engine":
                       type(eng).__name__, "M": cfg.M, "G": cfg.G,
