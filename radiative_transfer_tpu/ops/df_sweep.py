@@ -575,7 +575,7 @@ class DFPallasEngine:
 
     def __init__(self, cfg: Config, tables, block: Optional[int] = None,
                  interpret: Optional[bool] = None,
-                 scan_tol: float = 1e-10, corr_scan_tol: float = 1e-8):
+                 scan_tol: float = 1e-10, corr_scan_tol: float = 1e-6):
         self.cfg = cfg
         self.tables = tables
         auto_block = block is None
