@@ -725,7 +725,8 @@ class DiffPallasStep:
         self.step = step
 
 
-def make_diff_solve_pallas(cfg: Config, tables, num_steps=None):
+def make_diff_solve_pallas(cfg: Config, tables, num_steps=None,
+                           remat_group: Optional[int] = None):
     """Differentiable solve at Pallas-kernel rate.
 
     Same contract as adjoint.make_diff_solve_fast (``solve_fn(params,
@@ -733,9 +734,15 @@ def make_diff_solve_pallas(cfg: Config, tables, num_steps=None):
     AND backward passes running the fused f32 kernels (DiffPallasStep).
     Gradients are the exact discrete adjoint of the f32 kernel program;
     vs the f64 general adjoint they carry f32-grade fidelity (~1e-5
-    relative — the same trade the forward perf engines make). Memory:
-    the step scan stores the 6 f32 state planes + per-block records per
-    step (reverse-mode residuals)."""
+    relative — the same trade the forward perf engines make).
+
+    Memory: by default the step scan stores the input planes + tiny
+    per-block records for EVERY step (reverse-mode residuals) — ~2 f32
+    planes/step. For long horizons pass ``remat_group=g`` (or leave
+    None with num_steps > 256, which auto-picks g ~ sqrt(n)): steps run
+    in jax.checkpoint'd groups of g, storing only the group-boundary
+    states plus one group's residuals at a time (sqrt-schedule memory,
+    one extra forward recompute per group in the backward pass)."""
     from .. import adjoint as adj
 
     n = cfg.max_timesteps if num_steps is None else num_steps
@@ -794,7 +801,21 @@ def make_diff_solve_pallas(cfg: Config, tables, num_steps=None):
                 ns = fs.FlatState(o0, o1, s.e0, s.e1, s.h0, s.h1)
             return ns, None
 
-        st, _ = lax.scan(body, st, None, length=n)
+        g = remat_group
+        if g is None and n > 256:
+            g = max(1, int(np.sqrt(n)))
+        if g and g > 1 and n > g:
+            def group(s, _):
+                s, _ = lax.scan(body, s, None, length=g)
+                return s, None
+
+            ngroups, tail = divmod(n, g)
+            st, _ = lax.scan(jax.checkpoint(group), st, None,
+                             length=ngroups)
+            if tail:
+                st, _ = lax.scan(body, st, None, length=tail)
+        else:
+            st, _ = lax.scan(body, st, None, length=n)
 
         def pair(x0, x1):
             return fe.ends_pair(fe.tile(jnp.asarray(x0, jnp.float64)),

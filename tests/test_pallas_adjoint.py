@@ -177,3 +177,25 @@ def test_initial_state_grad_flows():
         b = np.asarray(getattr(gp, name))
         scale = np.abs(a).max() + 1e-300
         assert np.abs(a - b).max() / scale < 1e-4, name
+
+
+def test_remat_group_gradients_unchanged():
+    """sqrt-schedule rematerialisation (remat_group) changes memory,
+    not semantics: gradients agree with the plain scan at f32
+    reproducibility (the recomputed forward is the same program, but
+    XLA may fuse the remat context differently at f32)."""
+    cfg = load_config(conftest.reference_deck("single_group.prm"),
+                      M=4, N=64, X=0.64, max_timesteps=7,
+                      bc_left_indicator=1, psi_source=((2.0,),) * 4)
+    tables, _, _ = transport.build_tables(cfg)
+    params = dict(kappa=jnp.asarray([cfg.kappa_grey], jnp.float64))
+
+    def gradof(**kw):
+        solve = pa.make_diff_solve_pallas(cfg, tables, num_steps=7, **kw)
+        return jax.grad(
+            lambda p: jnp.sum(solve(p, None).ends ** 2))(params)
+
+    g_plain = gradof()
+    g_remat = gradof(remat_group=3)        # 2 groups of 3 + tail 1
+    np.testing.assert_allclose(np.asarray(g_remat["kappa"]),
+                               np.asarray(g_plain["kappa"]), rtol=1e-4)
