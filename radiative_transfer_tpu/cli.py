@@ -15,7 +15,8 @@ Options:
     --engine E       'general' (float64 scan path, default), 'fast'
                      (tiled float32/float64 fused path), 'pallas' (f32
                      TPU kernel), 'df' (double-float TPU kernel:
-                     f64-grade at kernel rate), 'halo', or 'auto'
+                     f64-grade at kernel rate; multi-chip via the df
+                     halo engine with --mesh), 'halo', 'fused', 'auto'
     --dtype D        float64 (default) or float32
     --profile        print per-step wall-clock and updates/s
     --check          numeric guards per solve chunk (named checkify checks)
@@ -133,7 +134,9 @@ def main(argv=None) -> int:
                          "fused XLA engine; pallas: single-pass TPU kernel "
                          "(float32, interpreted off-TPU); df: double-float "
                          "TPU kernel (f64-grade results at ~23%% of the f32 "
-                         "kernel rate — the fast reference-precision path); "
+                         "kernel rate — the fast reference-precision path; "
+                         "with --mesh, the double-float halo-overlap "
+                         "engine, truncated-scan regime only); "
                          "halo: multi-chip "
                          "fused K-step kernel via halo-overlap decomposition "
                          "(float32, needs the truncated-scan regime; implies "
@@ -143,9 +146,13 @@ def main(argv=None) -> int:
                          "auto: fastest "
                          "engine for the topology and dtype — plain pallas "
                          "(f32) or df (f64) on a TPU chip, fast (f64) "
-                         "off-TPU, halo when "
-                         "feasible else the sharded pallas engine on real "
-                         "meshes")
+                         "off-TPU, halo (f32) / df halo (f64) when "
+                         "feasible else the sharded pallas / XLA f64 engine "
+                         "on real meshes. NOTE: auto at f64 routes to the "
+                         "double-float kernels — results are double-float "
+                         "grade (~2^-48 relative, drift pinned ~1e-12), not "
+                         "bit-level IEEE f64; exact-f64 trajectories need "
+                         "--engine fast/general")
     ap.add_argument("--dtype", choices=("float64", "float32"), default="float64")
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--checkpoint-dir", default=None,
@@ -481,11 +488,6 @@ def _run(args, cfg, dtype):
             args.engine = "df"
             print("auto engine: df (single chip, double-float kernel)")
     if args.mesh:
-        if args.engine == "df":
-            raise SystemExit(
-                "--engine df is single-chip (the double-float kernel has "
-                "no mesh decomposition yet); f64-grade mesh runs use "
-                "--engine fast/general with --mesh")
         return _run_sharded(args, cfg, dtype)
     if args.engine in ("fast", "pallas", "df", "auto"):
         tables, grid, ct = transport.build_tables(cfg, dtype=jnp.float64)
@@ -625,7 +627,7 @@ def _run_sharded(args, cfg, dtype):
     if cfg.include_validation:
         assert transport.validate_tables(cfg, ct), "Invalid Correction Terms"
 
-    if args.engine in ("fast", "pallas", "halo", "fused", "auto"):
+    if args.engine in ("fast", "pallas", "halo", "fused", "df", "auto"):
         mesh = sharded_fast.make_mesh_2d(ng, nx) if ng > 1 else \
             sharded_fast.make_mesh_1d(nx)
         distributed.assert_mesh_spans_hosts(mesh)
@@ -633,21 +635,44 @@ def _run_sharded(args, cfg, dtype):
             from . import parallel
 
             if args.dtype != "float32":
-                # f64 parity requested: the XLA engines are the only f64
-                # paths — auto must honor the precision, not note it
-                # away; at a degenerate 1-device single-process mesh the
-                # plain FastEngine skips the ~19% mesh machinery.
+                # f64-grade mesh runs: the double-float halo engine
+                # scales reference precision across the mesh at kernel
+                # rate (parallel/df_halo.py) when its creep bound admits
+                # the workload; otherwise the XLA engines are the
+                # fallback f64 path (exact IEEE f64; results are
+                # double-float grade ~2^-48 on the df route — see
+                # --help). At a degenerate 1-device single-process mesh
+                # off-TPU the plain FastEngine skips the mesh machinery.
                 from .ops.fast_sweep import FastEngine
 
-                if ng * nx == 1 and jax.process_count() == 1:
-                    eng = FastEngine(cfg, tables, dtype=dtype)
-                else:
-                    eng = sharded_fast.ShardedFastEngine(
-                        cfg, tables, mesh, dtype=dtype)
+                eng = None
+                if jax.devices()[0].platform != "cpu":
+                    try:
+                        eng = parallel.make_multichip_engine(
+                            cfg, tables, mesh, engine="df_halo",
+                            scan_tol=args.scan_tol)
+                    except ValueError as e:
+                        print(f"auto engine: df halo infeasible ({e}); "
+                              "falling back to the sharded XLA f64 engine")
+                if eng is None:
+                    if ng * nx == 1 and jax.process_count() == 1:
+                        eng = FastEngine(cfg, tables, dtype=dtype)
+                    else:
+                        eng = sharded_fast.ShardedFastEngine(
+                            cfg, tables, mesh, dtype=dtype)
             else:
                 eng = parallel.make_multichip_engine(
                     cfg, tables, mesh, scan_tol=args.scan_tol)
             print(f"auto engine: {type(eng).__name__}")
+        elif args.engine == "df":
+            from .parallel.df_halo import DFHaloEngine
+
+            try:
+                eng = DFHaloEngine(cfg, tables, mesh,
+                                   scan_tol=args.scan_tol)
+            except ValueError as e:
+                raise SystemExit(
+                    f"--engine df infeasible for this mesh workload: {e}")
         elif args.engine == "halo":
             from .parallel.halo_pallas import HaloPallasEngine
 

@@ -127,7 +127,12 @@ def _pack_df_coeffs(cfg: Config, tables, kind: int, ts: float) -> np.ndarray:
 
 def _unpack_dfc(ref, kb: ps._Coef) -> _DFC:
     """Slice the pack; hi parts come from the f32 base coefficients."""
-    c = ref[0]                                           # (Bh, _NDF)
+    return _unpack_dfc_rows(ref[0], kb)                  # (Bh, _NDF)
+
+
+def _unpack_dfc_rows(c, kb: ps._Coef) -> _DFC:
+    """_unpack_dfc on an already-2-D (rows, _NDF) coefficient array (the
+    packed-rows halo kernels load (2, Bh_l, _NDF) collapsed)."""
     his = (kb.T0, kb.q, kb.w, kb.kee, kb.kp, kb.c1)
     consts = [
         df.DFConst(hi, c[:, 3 * k:3 * k + 1], c[:, 3 * k + 1:3 * k + 2],
@@ -533,20 +538,267 @@ def _make_df_multistep_kernel(kind: int, *, Bh: int, blk: int,
     return kernel
 
 
-def whole_n_feasible(cfg: Config) -> bool:
-    """Cheap mirror of DFPallasEngine's block selection: False when N
-    admits no 128-multiple power-of-two block (odd / awkward N), forcing
-    a single whole-N block whose ~4x-the-f32-kernel live planes exceed
-    scoped VMEM. Auto selection (cli --engine auto --dtype float64)
-    routes such shapes to the padded XLA fast engine instead of handing
-    Mosaic an infeasible kernel."""
-    block = 2048
-    while block > 1 and (cfg.N % block != 0 or (block & (block - 1))):
-        block //= 2
-    if block % 128 != 0 and block != cfg.N:
-        block = cfg.N
+def _make_df_halo_multistep_kernel(kind: int, *, rows: int, blk: int,
+                                   K: int, use_corr: bool, npass: int,
+                                   npass_c: int, interpret: bool):
+    """Seeded packed K-step double-float BE/CN kernel for the df
+    halo-overlap multi-chip engine (parallel/df_halo.py) — the df
+    analogue of pallas_sweep._make_halo_multistep_kernel:
+
+    * both direction halves ride the row dimension (rows = 2*Bh_local)
+      on a 1-D grid; there is no intra-kernel reflective coupling;
+    * per-(row, step) double-float seed VALUES (hi + lo arrays) replace
+      the bc fill of _half_init — unlike the f32 kernels there is no
+      s-multiplier fold (the base keeps a plain-bc inflow and the
+      output-based residual corrects it; module doc);
+    * a `reset` block index (SMEM) marks where the true chain starts:
+      the base carry, the residual's df inflow (otail hi/lo) and the
+      history fills re-initialise from the seeds there, so a zero-seeded
+      absorber halo can precede the true domain;
+    * the CORRECTED end-of-chain outflows two_sum(base o1 edge, delta
+      edge) — exactly what _half_init's reflective fold consumes on the
+      single-chip kernel — are recorded per step as (hi, lo) outputs
+      for the engine's reflective fixup launch.
+    """
+    assert kind in (BE, CN)
+
+    def kernel(kb_ref, kd_ref, seedh_ref, seedl_ref, reset_ref, m_ref,
+               one_ref,
+               e0h_r, e0l_r, e1h_r, e1l_r,
+               o0h_r, o0l_r, o1h_r, o1l_r,
+               op0h_r, op0l_r, op1h_r, op1l_r,
+               och_r, ocl_r, *scratch):
+        assert len(scratch) == (6 if kind == CN else 4) * K
+        carries = scratch[:K]
+        ccarries = scratch[K:2 * K]
+        otails_h = scratch[2 * K:3 * K]
+        otails_l = scratch[3 * K:4 * K]
+        etails_h = scratch[4 * K:5 * K] if kind == CN else None
+        etails_l = scratch[5 * K:6 * K] if kind == CN else None
+
+        i = pl.program_id(0)
+        fz = df.make_freeze(one_ref[0:1, 0:1], materialize=interpret)
+        c = kb_ref[...]
+        kb = ps._Coef(*(c[:, k:k + 1] for k in range(ps._NCOEF)))
+        kd = _unpack_dfc_rows(kd_ref[...], kb)
+
+        @pl.when(i == 0)
+        def _():
+            for k in range(K):
+                for t in (carries, ccarries, otails_h, otails_l):
+                    t[k][:] = jnp.zeros_like(t[k][:])
+                if kind == CN:
+                    etails_h[k][:] = jnp.zeros_like(etails_h[k][:])
+                    etails_l[k][:] = jnp.zeros_like(etails_l[k][:])
+
+        # Re-seed where the true chain starts (program order: after the
+        # zero init, so reset==0 applies seeds on top of the zero fill).
+        @pl.when(i == reset_ref[0, 0])
+        def _():
+            svh, svl = seedh_ref[...], seedl_ref[...]
+            for k in range(K):
+                carries[k][:] = svh[:, k:k + 1]
+                ccarries[k][:] = jnp.zeros_like(svh[:, k:k + 1])
+                otails_h[k][:] = svh[:, k:k + 1]
+                otails_l[k][:] = svl[:, k:k + 1]
+                if kind == CN:
+                    etails_h[k][:] = jnp.zeros_like(etails_h[k][:])
+                    etails_l[k][:] = jnp.zeros_like(etails_l[k][:])
+
+        col = lax.broadcasted_iota(jnp.int32, (rows, blk), 1)
+        first = i == reset_ref[0, 0]
+
+        e0h, e0l = e0h_r[...], e0l_r[...]
+        e1h, e1l = e1h_r[...], e1l_r[...]
+        for k in range(K):
+            e_in = (e0h, e0l, e1h, e1l)
+            et = (etails_h[k], etails_l[k]) if kind == CN else None
+            f = _df_substep(
+                kind, kb, kd, fz, col, blk, m_ref, use_corr, first,
+                e_in, e_in if kind == CN else None, None, et, None,
+                carries[k], ccarries[k], otails_h[k], otails_l[k],
+                npass, npass_c)
+            if kind == CN:
+                etails_h[k][:] = e1h[:, -1:]
+                etails_l[k][:] = e1l[:, -1:]
+            if k == K - 1:
+                op0h_r[...], op0l_r[...] = e0h, e0l
+                op1h_r[...], op1l_r[...] = e1h, e1l
+            e0h, e0l, e1h, e1l = f
+
+        o0h_r[...], o0l_r[...] = e0h, e0l
+        o1h_r[...], o1l_r[...] = e1h, e1l
+        # Corrected end-of-chain outflows (last visit's write persists).
+        for k in range(K):
+            vh, vl = df.two_sum(otails_h[k][:], ccarries[k][:])
+            och_r[:, k:k + 1] = vh
+            ocl_r[:, k:k + 1] = vl
+
+    return kernel
+
+
+def _make_df_halo_bdf2_kernel(*, rows: int, blk: int, K: int,
+                              use_corr: bool, symmetric_half: bool,
+                              npass: dict, npass_c: dict,
+                              interpret: bool):
+    """Seeded packed K-step double-float BDF2 4-phase kernel — the df
+    analogue of pallas_sweep._make_halo_bdf2_kernel (see
+    _make_df_halo_multistep_kernel for the seed/reset/record semantics;
+    seeds and records are laid out (rows, 4K), column 4k+p for step k
+    phase p). The asymmetric half-ends snapshot (solver.cpp:733 vs
+    784-787) is a per-row blend since both halves share a visit."""
+
+    def kernel(kbe_ref, kcn_ref, kbdf_ref, dbe_ref, dcn_ref, dbdf_ref,
+               seedh_ref, seedl_ref, reset_ref, m_ref, one_ref,
+               e0h_r, e0l_r, e1h_r, e1l_r,
+               o0h_r, o0l_r, o1h_r, o1l_r,
+               oh0h_r, oh0l_r, oh1h_r, oh1l_r,
+               op0h_r, op0l_r, op1h_r, op1l_r,
+               och_r, ocl_r, *scratch):
+        nph = 4 * K
+        assert len(scratch) == 4 * nph + 4 * K
+        carries = scratch[:nph]
+        ccarries = scratch[nph:2 * nph]
+        otails_h = scratch[2 * nph:3 * nph]
+        otails_l = scratch[3 * nph:4 * nph]
+        rest = scratch[4 * nph:]
+        etails_h, etails_l = rest[:K], rest[K:2 * K]
+        htails_h, htails_l = rest[2 * K:3 * K], rest[3 * K:4 * K]
+
+        i = pl.program_id(0)
+        fz = df.make_freeze(one_ref[0:1, 0:1], materialize=interpret)
+
+        def unpack(ref):
+            c = ref[...]
+            return ps._Coef(*(c[:, k:k + 1] for k in range(ps._NCOEF)))
+
+        kb = {BE: unpack(kbe_ref), CN: unpack(kcn_ref),
+              BDF: unpack(kbdf_ref)}
+        kd = {BE: _unpack_dfc_rows(dbe_ref[...], kb[BE]),
+              CN: _unpack_dfc_rows(dcn_ref[...], kb[CN]),
+              BDF: _unpack_dfc_rows(dbdf_ref[...], kb[BDF])}
+
+        @pl.when(i == 0)
+        def _():
+            for s in range(nph):
+                for t in (carries, ccarries, otails_h, otails_l):
+                    t[s][:] = jnp.zeros_like(t[s][:])
+            for k in range(K):
+                for t in (etails_h, etails_l, htails_h, htails_l):
+                    t[k][:] = jnp.zeros_like(t[k][:])
+
+        @pl.when(i == reset_ref[0, 0])
+        def _():
+            svh, svl = seedh_ref[...], seedl_ref[...]
+            for s in range(nph):
+                carries[s][:] = svh[:, s:s + 1]
+                ccarries[s][:] = jnp.zeros_like(svh[:, s:s + 1])
+                otails_h[s][:] = svh[:, s:s + 1]
+                otails_l[s][:] = svl[:, s:s + 1]
+            for k in range(K):
+                for t in (etails_h, etails_l, htails_h, htails_l):
+                    t[k][:] = jnp.zeros_like(t[k][:])
+
+        col = lax.broadcasted_iota(jnp.int32, (rows, blk), 1)
+        row = lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        is_neg = row < (rows // 2)                  # mu<0 rows first
+        first = i == reset_ref[0, 0]
+
+        e0h, e0l = e0h_r[...], e0l_r[...]
+        e1h, e1l = e1h_r[...], e1l_r[...]
+        hs = None
+        for k in range(K):
+            et = (etails_h[k], etails_l[k])
+            ht = (htails_h[k], htails_l[k])
+            e_in = (e0h, e0l, e1h, e1l)
+
+            def phase(ph, kind, e, p=None, hpl=None, etail=None,
+                      htail=None):
+                s = 4 * k + ph
+                return _df_substep(
+                    kind, kb[kind], kd[kind], fz, col, blk, m_ref,
+                    use_corr, first, e, p, hpl, etail, htail,
+                    carries[s], ccarries[s], otails_h[s], otails_l[s],
+                    npass[kind], npass_c[kind])
+
+            # Phase 0: BE(dt/2) predictor.
+            b = phase(0, BE, e_in)
+            # Phase 1: CN(dt/2) corrector (p1 = step input e1).
+            hc = phase(1, CN, b, p=e_in, etail=et)
+            if symmetric_half:
+                hs = hc
+            else:
+                hs = tuple(jnp.where(is_neg, a, bb)
+                           for a, bb in zip(hc, b))
+            # Phase 2: second BE(dt/2) predictor.
+            d = phase(2, BE, hc)
+            # Phase 3: BDF2 corrector (prev = step input, half = hs).
+            f = phase(3, BDF, d, p=e_in, hpl=hs, etail=et, htail=ht)
+
+            etails_h[k][:] = e1h[:, -1:]
+            etails_l[k][:] = e1l[:, -1:]
+            htails_h[k][:] = hs[2][:, -1:]
+            htails_l[k][:] = hs[3][:, -1:]
+            if k == K - 1:
+                op0h_r[...], op0l_r[...] = e0h, e0l
+                op1h_r[...], op1l_r[...] = e1h, e1l
+            e0h, e0l, e1h, e1l = f
+
+        o0h_r[...], o0l_r[...] = e0h, e0l
+        o1h_r[...], o1l_r[...] = e1h, e1l
+        oh0h_r[...], oh0l_r[...] = hs[0], hs[1]
+        oh1h_r[...], oh1l_r[...] = hs[2], hs[3]
+        for s in range(nph):
+            vh, vl = df.two_sum(otails_h[s][:], ccarries[s][:])
+            och_r[:, s:s + 1] = vh
+            ocl_r[:, s:s + 1] = vl
+
+    return kernel
+
+
+def select_block(cfg: Config, block: Optional[int] = None,
+                 interpret: bool = False) -> int:
+    """THE df block-selection walk — the single source of truth shared
+    by DFPallasEngine.__init__ and the CLI auto gate (whole_n_feasible),
+    so the two can never silently disagree (ADVICE r4): divisor walk
+    from 2048, VMEM shrink to Bh*block <= 2^16 (the df kernel keeps ~4x
+    the f32 kernel's live planes), small-batch growth back to the
+    target, then the Mosaic lane rule (block % 128 == 0 or whole-N)."""
+    auto_block = block is None
+    if auto_block:
+        block = 2048
+    blk = block
+    while cfg.N % blk != 0 or (blk & (blk - 1)):
+        blk //= 2
+        if blk == 0:
+            raise ValueError(f"N={cfg.N} has no power-of-two block")
     Bh = (cfg.M // 2) * cfg.G
-    return not (block == cfg.N and Bh * cfg.N > (1 << 18))
+    while auto_block and Bh * blk > (1 << 16) and blk > 512:
+        blk //= 2
+    if auto_block:
+        target = 1 << 16
+        while (Bh * blk * 2 <= target and blk < cfg.N
+               and cfg.N % (blk * 2) == 0):
+            blk *= 2
+    if blk % 128 != 0 and blk != cfg.N:
+        if not interpret or auto_block:
+            blk = cfg.N
+    return blk
+
+
+def whole_n_feasible(cfg: Config) -> bool:
+    """False when DFPallasEngine's own block selection (select_block)
+    would land on a single whole-N block whose ~4x-the-f32-kernel live
+    planes exceed scoped VMEM (odd / awkward N with no 128-multiple
+    power-of-two divisor). Auto selection (cli --engine auto --dtype
+    float64) routes such shapes to the padded XLA fast engine instead
+    of handing Mosaic an infeasible kernel."""
+    try:
+        blk = select_block(cfg, None, interpret=False)
+    except ValueError:
+        return False
+    Bh = (cfg.M // 2) * cfg.G
+    return not (blk == cfg.N and Bh * cfg.N > (1 << 18))
 
 
 class DFState(NamedTuple):
@@ -578,9 +830,6 @@ class DFPallasEngine:
                  scan_tol: float = 1e-10, corr_scan_tol: float = 1e-6):
         self.cfg = cfg
         self.tables = tables
-        auto_block = block is None
-        if auto_block:
-            block = 2048
         Mh, G = cfg.M // 2, cfg.G
         self.Mh, self.G = Mh, G
         self.Bh = Mh * G
@@ -588,25 +837,9 @@ class DFPallasEngine:
             interpret = jax.devices()[0].platform == "cpu"
         self.interpret = interpret
 
-        self.block = block
-        while cfg.N % self.block != 0 or (self.block & (self.block - 1)):
-            self.block //= 2
-            if self.block == 0:
-                raise ValueError(f"N={cfg.N} has no power-of-two block")
-        # The double-float kernel keeps ~4x the f32 kernel's live planes
-        # (hi+lo in and out); target Bh*block = 2^16 (vs 2^17 for f32).
-        while auto_block and self.Bh * self.block > (1 << 16) \
-                and self.block > 512:
-            self.block //= 2
-        if auto_block:
-            target = 1 << 16
-            while (self.Bh * self.block * 2 <= target
-                   and self.block < cfg.N
-                   and cfg.N % (self.block * 2) == 0):
-                self.block *= 2
-        if self.block % 128 != 0 and self.block != cfg.N:
-            if not interpret or auto_block:
-                self.block = cfg.N
+        # Shared selection walk (select_block) — the CLI auto gate
+        # (whole_n_feasible) queries the same function.
+        self.block = select_block(cfg, block, interpret)
         self.nblocks = cfg.N // self.block
 
         # f32 coefficient/layout machinery (base + correction solves).

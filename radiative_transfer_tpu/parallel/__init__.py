@@ -1,6 +1,7 @@
 """Multi-chip engines: general (sharded), fast (sharded_fast), Pallas
-per-substep exchange (sharded_pallas), and fused-kernel halo overlap
-(halo_pallas)."""
+per-substep exchange (sharded_pallas), fused-kernel halo overlap
+(halo_pallas), single-exchange fused cycle (fused_exchange), and the
+f64-grade double-float halo overlap (df_halo)."""
 
 from . import distributed, sharded, sharded_fast  # noqa: F401
 
@@ -101,8 +102,12 @@ def make_multichip_engine(cfg, tables, mesh, engine: str = "auto",
             fkw.setdefault("dtype", jnp.float32)
             return fast_sweep.FastEngine(cfg, tables, **fkw)
         return eng
-    from . import fused_exchange, halo_pallas, sharded_pallas
+    from . import df_halo, fused_exchange, halo_pallas, sharded_pallas
 
+    if engine == "df_halo":
+        # f64-grade mesh engine (double-float halo overlap). Raises
+        # ValueError with f64-XLA guidance when the creep bound fails.
+        return df_halo.DFHaloEngine(cfg, tables, mesh, **kw)
     if engine == "halo":
         return halo_pallas.HaloPallasEngine(cfg, tables, mesh, **kw)
     if engine == "pallas":
