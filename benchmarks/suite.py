@@ -167,6 +167,20 @@ def run_case(engine, cfg, dtype_name, mesh_str="1x1", scan_tol=1e-10):
                 0, steps // K, lambda _, x: eng.multi_step(x, K), s
             )
 
+    elif engine == "df-halo":
+        # Double-float halo-overlap mesh engine (parallel/df_halo.py):
+        # f64-grade at kernel rate across a mesh; at --mesh 1x1 this
+        # bounds the halo+fixup overhead vs the plain df engine — the
+        # per-chip rate f64-grade multi-chip runs keep.
+        from radiative_transfer_tpu.parallel.df_halo import DFHaloEngine
+
+        eng = DFHaloEngine(cfg, tables, _mk_mesh(mesh_str),
+                           scan_tol=scan_tol)
+        state = eng.init_state()
+
+        def run(s):
+            return eng.solve(s, num_steps=steps)
+
     elif engine == "fused-exchange":
         # Single-exchange fused-cycle mesh engine (the untruncatable-
         # regime fallback); at --mesh 1x1 this bounds its second-cycle
@@ -286,7 +300,7 @@ def main():
     for name, M, G, N, steps, corr, tol, fam_mult in cases:
         for engine in engines:
             fam = ("pallas" in engine or engine == "auto"
-                   or engine in ("df", "fused-exchange"))
+                   or engine in ("df", "df-halo", "fused-exchange"))
             if fam and not on_tpu and N > (1 << 14):
                 continue  # interpreter too slow for big cases
             if "full-scan" in name and "pallas" not in engine \

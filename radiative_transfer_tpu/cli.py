@@ -467,6 +467,7 @@ def _run(args, cfg, dtype):
         return result, np.asarray(grid.e_ave), sr.iterations
 
     check_fn = _make_check_fn(args)
+    auto_df = False
     if args.engine == "auto" and not args.mesh and args.dtype != "float32":
         # f64-grade runs: the double-float Pallas kernel on a TPU chip
         # (15.1 G vs the XLA engine's 1.9 G at the headline shape); the
@@ -486,6 +487,7 @@ def _run(args, cfg, dtype):
                   "Pallas-friendly block)")
         else:
             args.engine = "df"
+            auto_df = True
             print("auto engine: df (single chip, double-float kernel)")
     if args.mesh:
         return _run_sharded(args, cfg, dtype)
@@ -513,7 +515,32 @@ def _run(args, cfg, dtype):
         elif args.engine == "df":
             from .ops.df_sweep import DFPallasEngine
 
-            eng = DFPallasEngine(cfg, tables, scan_tol=args.scan_tol)
+            eng = None
+            if auto_df and (cfg.M // 2) * cfg.G < 8:
+                # Tiny batches (Bh < 8) waste sublanes on the plain df
+                # kernel's (1, Bh, blk) blocks; the packed-rows df halo
+                # kernel at a 1-device mesh runs both halves per visit
+                # (measured 10.35 vs 6.2 G at Bh=4, gray_s8 row of
+                # benchmarks/results/suite_tpu_r5.json — the df
+                # analogue of the f32 packed selection,
+                # parallel.make_multichip_engine). Auto only: an
+                # explicit --engine df pin is respected.
+                import numpy as _np
+
+                import jax as _jax
+
+                from .parallel.df_halo import DFHaloEngine, Mesh
+
+                try:
+                    m1 = Mesh(_np.asarray(_jax.devices()[:1]), ("x",))
+                    eng = DFHaloEngine(cfg, tables, m1,
+                                       scan_tol=args.scan_tol)
+                    print("auto engine: packed-rows df halo at 1-device "
+                          "mesh (tiny batch)")
+                except ValueError:
+                    eng = None  # infeasible: plain df kernel
+            if eng is None:
+                eng = DFPallasEngine(cfg, tables, scan_tol=args.scan_tol)
         else:
             from .ops.fast_sweep import FastEngine
 

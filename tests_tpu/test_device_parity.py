@@ -178,6 +178,95 @@ def _df_drift(cfg, steps, K=2):
     return np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-300)
 
 
+def _mesh1():
+    from radiative_transfer_tpu.parallel.halo_pallas import Mesh
+
+    return Mesh(np.asarray(jax.devices()[:1]), ("x",))
+
+
+def test_mesh_engines_solution_parity_on_chip():
+    """VERDICT r4 #6: the four f32 mesh engines previously had only
+    compile/shape checks on chip — a shard_map x Mosaic lowering
+    regression in their numerics would ship invisibly (the CPU
+    interpret path compiles through XLA CPU, not Mosaic). Mesh-1x1
+    solution parity vs the plain single-chip engine through real
+    Mosaic + shard_map closes that: collectives degenerate to
+    self-copies but every kernel, exchange fold and fixup runs."""
+    from radiative_transfer_tpu.parallel.fused_exchange import (
+        FusedExchangeEngine,
+    )
+    from radiative_transfer_tpu.parallel.halo_pallas import HaloPallasEngine
+    from radiative_transfer_tpu.parallel.sharded_pallas import (
+        ShardedPallasEngine,
+    )
+
+    steps = 6
+    cfg = load_config(os.path.join(REF, "prm", "single_group.prm"),
+                      M=8, N=2048, X=20.48, max_timesteps=steps,
+                      psi_source=tuple((4.0931,) for _ in range(8)))
+    tables, _, _ = transport.build_tables(cfg, dtype=jnp.float64)
+    peng = PallasEngine(cfg, tables)
+    assert not peng.interpret, "device suite must run the Mosaic compiler"
+    ref = np.asarray(peng.ends(peng.solve(num_steps=steps)), np.float64)
+    scale = np.abs(ref).max()
+    mesh = _mesh1()
+
+    for ctor, tol in ((ShardedPallasEngine, 2e-5),
+                      (HaloPallasEngine, 2e-5),
+                      (FusedExchangeEngine, 2e-5)):
+        eng = ctor(cfg, tables, mesh)
+        assert not eng.interpret, ctor.__name__
+        got = np.asarray(eng.ends(eng.solve(num_steps=steps)), np.float64)
+        err = np.abs(got - ref).max() / scale
+        assert err < tol, f"{ctor.__name__}: {err:.3e}"
+
+
+def test_df_halo_mesh_parity_on_chip():
+    """The df halo engine's shard-owned cells are BIT-exact vs the
+    single-chip df kernel (creep-bound argument, parallel/df_halo.py);
+    re-asserted through real Mosaic + shard_map at mesh-1x1 (measured
+    0.0 on 2026-08-20; the 1e-11 bar is the VERDICT r4 target and
+    leaves room only for benign compiler-level reassociation)."""
+    from radiative_transfer_tpu.parallel.df_halo import DFHaloEngine
+
+    steps = 6
+    cfg = load_config(os.path.join(REF, "prm", "single_group.prm"),
+                      N=2048, X=20.48, max_timesteps=steps)
+    tables, _, _ = transport.build_tables(cfg, dtype=jnp.float64)
+    deng = DFPallasEngine(cfg, tables, block=256)
+    assert not deng.interpret
+    ref = np.asarray(deng.ends(deng.solve(num_steps=steps)), np.float64)
+
+    heng = DFHaloEngine(cfg, tables, _mesh1(), block=256)
+    assert not heng.interpret
+    got = np.asarray(heng.ends(heng.solve(num_steps=steps)), np.float64)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-11
+
+
+def test_df_halo_drift_on_chip():
+    """f64-grade drift pin for the df HALO engine on hardware (the df
+    single-chip pin is test_df_engine_f64_grade_on_chip): mesh-1x1
+    trajectory vs the all-f64 XLA engine over a 100-step gray
+    transient."""
+    from radiative_transfer_tpu.parallel.df_halo import DFHaloEngine
+
+    steps = 100
+    cfg = load_config(os.path.join(REF, "prm", "single_group.prm"),
+                      M=8, N=2048, X=20.48, max_timesteps=steps,
+                      psi_source=tuple((4.0931,) for _ in range(8)))
+    tables, _, _ = transport.build_tables(cfg, dtype=jnp.float64)
+    fe64 = FastEngine(cfg, tables, dtype=jnp.float64)
+
+    @jax.jit
+    def run64(s):
+        return lax.fori_loop(0, steps, lambda _, x: fe64.step(x), s)
+
+    ref = np.asarray(fe64.ends(run64(fe64.init_state())))
+    heng = DFHaloEngine(cfg, tables, _mesh1())
+    got = np.asarray(heng.ends(heng.solve(num_steps=steps)))
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-10
+
+
 def test_df_engine_f64_grade_on_chip():
     """Double-float engine drift pins on hardware: the regression alarm
     for on-chip EFT exactness (Mosaic contraction/duplication would
