@@ -50,11 +50,15 @@ def main():
                     help="timesteps per timed run (default 256 on TPU — "
                          "amortises the tunnel's fixed sync cost, "
                          "timing.py — and 16 on the virtual CPU mesh)")
-    ap.add_argument("--workload", default="gray", choices=("gray", "llnl"),
+    ap.add_argument("--workload", default="gray",
+                    choices=("gray", "llnl", "llnl-shipped"),
                     help="gray: S_32 single-group headline; llnl: the "
                          "real 124-group LLNL deck at the Courant-0.4 "
                          "benchmark dt (BASELINE.md's multi-host "
-                         "multigroup halo-exchange config)")
+                         "multigroup halo-exchange config); llnl-shipped: "
+                         "the deck's own dt=1e-3 — the UNTRUNCATABLE "
+                         "regime the fused-exchange engine targets (the "
+                         "halo engine's creep bound rejects it)")
     ap.add_argument("--engine", default="halo-pallas",
                     choices=("halo-pallas", "sharded-pallas",
                              "sharded-fast", "fused-exchange"))
@@ -98,7 +102,7 @@ def main():
     n_dev = len(jax.devices())
     if args.steps is None:
         args.steps = 256 if on_tpu else 16
-    if args.workload == "llnl":
+    if args.workload.startswith("llnl"):
         from suite import _llnl_cfg_at  # Courant-0.4 dt, real deck
 
         cells = args.cells_per_shard or ((1 << 13) if on_tpu else (1 << 10))
@@ -106,6 +110,19 @@ def main():
     else:
         cells = args.cells_per_shard or ((1 << 20) if on_tpu else (1 << 10))
         M, G = 32, 1
+
+    def _ladder_cfg(K):
+        if args.workload == "llnl-shipped":
+            # The deck's own dt (untruncatable; full-scan kernels).
+            from radiative_transfer_tpu import load_config
+
+            deck = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "prm", "llnl_slab_test.prm")
+            return load_config(deck, N=cells * K,
+                               max_timesteps=args.steps)
+        if args.workload == "llnl":
+            return _llnl_cfg_at(cells * K, args.steps)
+        return _mk_cfg(M, G, cells * K, args.steps)
 
     def _control_wall(cfg_ladder, K):
         """Host-capacity control for the virtual ladder: K INDEPENDENT
@@ -119,17 +136,22 @@ def main():
         import dataclasses
         import time as time_mod
 
+        from radiative_transfer_tpu.parallel.fused_exchange import (
+            FusedExchangeEngine,
+        )
         from radiative_transfer_tpu.parallel.halo_pallas import (
             HaloPallasEngine,
         )
 
+        ctor = (FusedExchangeEngine
+                if args.engine == "fused-exchange" else HaloPallasEngine)
         cfg1 = dataclasses.replace(cfg_ladder, N=cfg_ladder.N // K,
                                    X=cfg_ladder.X / K)
         tb1, _, _ = transport.build_tables(cfg1, dtype=jnp.float32)
         engs = []
         for k in range(K):
             m1 = Mesh(np.asarray(jax.devices()[k:k + 1]), ("x",))
-            e = HaloPallasEngine(cfg1, tb1, m1)
+            e = ctor(cfg1, tb1, m1)
             engs.append((e, e.solve(num_steps=args.steps)))  # compile+warm
         for _, s in engs:
             jax.block_until_ready(s)
@@ -148,10 +170,7 @@ def main():
     base_rate = None
     K = 1
     while K <= n_dev:
-        if args.workload == "llnl":
-            cfg = _llnl_cfg_at(cells * K, args.steps)
-        else:
-            cfg = _mk_cfg(M, G, cells * K, args.steps)
+        cfg = _ladder_cfg(K)
         tables, _, _ = transport.build_tables(cfg, dtype=jnp.float32)
         mesh = Mesh(np.asarray(jax.devices()[:K]), ("x",))
         if args.engine == "halo-pallas":
@@ -204,7 +223,8 @@ def main():
         }
         want_control = (args.control == "all"
                         or (args.control == "last" and K * 2 > n_dev))
-        if not on_tpu and args.engine == "halo-pallas" and want_control:
+        if (not on_tpu and want_control
+                and args.engine in ("halo-pallas", "fused-exchange")):
             # The raw efficiency column above is dominated by HOST-CORE
             # contention on a virtual mesh (n_dev devices sharing
             # os.cpu_count() cores) — it measures the host, not the

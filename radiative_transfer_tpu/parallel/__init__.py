@@ -127,6 +127,13 @@ def make_multichip_engine(cfg, tables, mesh, engine: str = "auto",
     # multi-shard mesh, where exchanges cost latency (at mesh-1x1 the
     # self-copy exchanges are free and per-substep can edge it out on
     # compute-bound shapes, but auto never routes K=1 here).
+    # Evidence (docs/WEAK_SCALING.md §4): HLO pin of the 1-vs-6
+    # collective count (tests/test_fused_exchange.py::
+    # test_one_collective_per_step_hlo), the shipped-dt virtual ladder
+    # (benchmarks/results/weak_scaling_virtual_llnlshipped_fused.json,
+    # comm-eff flat 0.96-1.02), and the ICI/DCN latency model (fused
+    # saves 3 all-gathers + 2 ppermutes/step; decisive on DCN,
+    # shape-dependent within ~15% on single-host ICI).
     if cfg.ts_method == 3:
         try:
             fkw = _filter_kwargs(

@@ -134,3 +134,42 @@ def test_from_ends_round_trip(mesh8):
     pst = peng.solve(pst, num_steps=2)
     assert _relerr(np.asarray(feng.ends(fst)),
                    np.asarray(peng.ends(pst))) < 1e-5
+
+
+def _collective_counts(eng, num_steps):
+    """Op counts in the OPTIMIZED HLO of one jitted solve (the fori_loop
+    body appears once regardless of trip count, so num_steps=1 counts
+    the per-BDF2-step collectives directly)."""
+    import re
+
+    import jax
+
+    st = eng.init_state()
+    txt = jax.jit(
+        lambda s: eng.solve(s, num_steps=num_steps)).lower(st)\
+        .compile().as_text()
+    return {op: len(re.findall(rf"{op}\(", txt))
+            for op in ("all-gather", "collective-permute")}
+
+
+def test_one_collective_per_step_hlo(mesh8):
+    """VERDICT r4 #4a: the routing claim 'fused does 1 collective per
+    whole BDF2 step vs 4+ for the per-substep engine' pinned on the
+    compiled HLO of the virtual 8-mesh (what auto's untruncatable-mesh
+    routing cites, parallel/__init__.py). Measured 2026-08-20:
+    fused = 1 all-gather + 0 ppermutes; per-substep = 4 all-gathers +
+    2 ppermutes (the history-halo ppermutes)."""
+    from radiative_transfer_tpu.parallel import sharded_pallas
+
+    cfg = load_config(reference_deck("llnl_slab_test.prm"), N=512)
+    tables, _, _ = transport.build_tables(cfg)
+
+    feng = fused_exchange.FusedExchangeEngine(cfg, tables, mesh8,
+                                              block=64)
+    fc = _collective_counts(feng, 1)
+    assert fc == {"all-gather": 1, "collective-permute": 0}, fc
+
+    peng = sharded_pallas.ShardedPallasEngine(cfg, tables, mesh8,
+                                              block=64)
+    pc = _collective_counts(peng, 1)
+    assert pc["all-gather"] + pc["collective-permute"] >= 4, pc
