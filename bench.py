@@ -19,9 +19,12 @@ comparison point is the ACTUAL reference miniapp, compiled in-image
 against the Eigen-subset shim (hot path -O2; see
 benchmarks/reference_baseline.py) and timed on this host's CPU with BE
 stepping (its BDF2 path has an O(N^2 M^2) per-cell tensor copy that
-cannot run at benchmark scale). Falls back to a vectorised-NumPy proxy
-of the same sweep if no toolchain is available. Values > 1 mean faster
-than the serial reference.
+cannot run at benchmark scale). The denominator is FROZEN
+(benchmarks/results/reference_baseline_frozen.json: median of 7
+committed runs, 2026-08-21, 9.85 M updates/s) so vs_baseline is
+reproducible round-over-round; a live re-measure (and finally a
+vectorised-NumPy proxy) is the fallback when the frozen record is
+missing. Values > 1 mean faster than the serial reference.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "updates/s", "vs_baseline": N}
@@ -142,11 +145,24 @@ def cpu_proxy_updates_per_s(M=32, G=1, N=20000, steps=2):
 
 
 def reference_binary_updates_per_s(quick=False):
-    """The real reference miniapp's measured rate (None if unbuildable)."""
+    """The reference miniapp's rate: the FROZEN committed median when
+    available (VERDICT r4 #7: a per-round re-measure is ±25% noisy on a
+    busy host and polluted the one number the driver tracks
+    longitudinally — vs_baseline swung 5871x/8338x/6626x across rounds
+    at a near-flat numerator), else a live in-image measurement."""
     import os
 
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "benchmarks"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    if not quick:
+        frozen = os.path.join(here, "benchmarks", "results",
+                              "reference_baseline_frozen.json")
+        try:
+            with open(frozen) as fh:
+                rec = json.load(fh)
+            return float(rec["updates_per_s"])
+        except Exception:
+            pass  # no frozen record: measure live below
+    sys.path.insert(0, os.path.join(here, "benchmarks"))
     try:
         from reference_baseline import reference_updates_per_s
 

@@ -116,3 +116,26 @@ def test_reference_plot_scripts_consume_our_csvs(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     for png in ("F.png", "phi.png", "phi_plus.png", "psi.png", "ends.png"):
         assert (scripts / png).exists(), png
+
+
+def test_bench_frozen_baseline_reproducible():
+    """VERDICT r4 #7: vs_baseline's denominator is the FROZEN committed
+    median (benchmarks/results/reference_baseline_frozen.json), so two
+    invocations agree exactly (the live re-measure was +-25% noisy and
+    polluted the longitudinal number)."""
+    import importlib.util
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(repo, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    a = bench.reference_binary_updates_per_s(False)
+    b = bench.reference_binary_updates_per_s(False)
+    assert a == b
+    frozen = json.load(open(os.path.join(
+        repo, "benchmarks", "results", "reference_baseline_frozen.json")))
+    assert a == frozen["updates_per_s"]
+    assert frozen["spread_pct"] < 25
