@@ -565,6 +565,298 @@ def _make_bwd_kernel(ts_method: int, *, Bh: int, blk: int, nb: int,
 
 
 # ---------------------------------------------------------------------------
+# K-fused forward-with-records + backward kernels (BDF2; VERDICT r4 #3)
+# ---------------------------------------------------------------------------
+
+def _make_fwd_record_kernel_bdf2_k(*, Bh: int, blk: int, reflective: bool,
+                                   s_be: float, s_cn: float, s_bdf: float,
+                                   symmetric_half: bool, npass: dict,
+                                   K: int):
+    """K whole BDF2 timesteps per launch WITH the backward pass's
+    residuals: the production fusion (ps._make_bdf2_kernel) plus
+
+    * per-(step, phase) carry records and per-step etail/htail records
+      at block entry ((2, 4K, Bh, nb) + 2 x (2, K, Bh, nb) — tiny), and
+    * the intermediate steps' INPUT planes ((K-1, 2, Bh, N) x 2 — the
+      only non-trivial record traffic: 2(K-1)/K extra plane-writes per
+      step, which still leaves the fused forward at ~(8+2(K-1))/K
+      plane-passes per step vs 8 for the K=1 record kernel).
+
+    The backward kernel recomputes each step's phases from ITS OWN
+    input planes (exactly the K=1 scheme per step), so the adjoint
+    stays one recompute + one transposed cycle per step."""
+    assert K >= 2
+
+    def kernel(cbe_ref, ccn_ref, cbdf_ref, bc_ref, perm_ref, m_ref,
+               e0r, e1r, o0r, o1r, oh0r, oh1r, op0r, op1r,
+               rc_ref, ret_ref, rht_ref, ri0_ref, ri1_ref, *scratch):
+        nph = 4 * K
+        assert len(scratch) == nph + 2 * K
+        carries = scratch[:nph]
+        etails = scratch[nph:nph + K]
+        htails = scratch[nph + K:]
+        h = pl.program_id(0)
+        i = pl.program_id(1)
+        kbe = ps._unpack_coef(cbe_ref)
+        kcn = ps._unpack_coef(ccn_ref)
+        kbdf = ps._unpack_coef(cbdf_ref)
+        s_of = (s_be, s_cn, s_be, s_bdf)
+
+        @pl.when(jnp.logical_and(h == 0, i == 0))
+        def _():
+            for s in range(nph):
+                carries[s][:] = s_of[s % 4] * bc_ref[0]
+            for k in range(K):
+                etails[k][:] = jnp.zeros_like(etails[k])
+                htails[k][:] = jnp.zeros_like(htails[k])
+
+        @pl.when(jnp.logical_and(h == 1, i == 0))
+        def _():
+            for s in range(nph):
+                cs = carries[s]
+                if reflective:
+                    cs[:] = s_of[s % 4] * jnp.dot(
+                        perm_ref[:], cs[:],
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
+                else:
+                    cs[:] = s_of[s % 4] * bc_ref[0]
+            for k in range(K):
+                etails[k][:] = jnp.zeros_like(etails[k])
+                htails[k][:] = jnp.zeros_like(htails[k])
+
+        lane_nb = lax.broadcasted_iota(jnp.int32, (Bh, rc_ref.shape[-1]),
+                                       1)
+
+        def rec_write(ref, idx, val):
+            sel = lane_nb == i
+            init = jnp.where(sel, val, 0.0)
+            rmw = jnp.where(sel, val, ref[idx])
+            ref[idx] = jnp.where(i == 0, init, rmw)
+
+        for s in range(4 * K):
+            rec_write(rc_ref, (0, s), carries[s][:])
+        for k in range(K):
+            rec_write(ret_ref, (0, k), etails[k][:])
+            rec_write(rht_ref, (0, k), htails[k][:])
+
+        col = lax.broadcasted_iota(jnp.int32, (Bh, blk), 1)
+        e0, e1 = e0r[0], e1r[0]
+        is_neg = h == 0
+        hs0 = hs1 = e0                      # overwritten in the loop
+
+        for k in range(K):
+            if k >= 1:
+                ri0_ref[k - 1, 0] = e0
+                ri1_ref[k - 1, 0] = e1
+            et_prev = etails[k][:]
+            ht_prev = htails[k][:]
+            zt = jnp.zeros_like(et_prev)
+
+            def sub(kind, kc, s, a0, a1, pp0, pp1, hh0, hh1, pt, ht):
+                o0, o1, pr = _substep_vals(
+                    kind, kc, col, blk, m_ref, a0, a1, pp0, pp1,
+                    hh0, hh1, carries[s][:], pt, ht, npass[kind])
+                carries[s][:] = pr.carry_out
+                return o0, o1
+
+            b0, b1 = sub(BE, kbe, 4 * k, e0, e1, e0, e1, e0, e1, zt, zt)
+            hc0, hc1 = sub(CN, kcn, 4 * k + 1, b0, b1, e0, e1, e0, e1,
+                           et_prev, zt)
+            if symmetric_half:
+                hs0, hs1 = hc0, hc1
+            else:
+                hs0 = jnp.where(is_neg, hc0, b0)
+                hs1 = jnp.where(is_neg, hc1, b1)
+            d0, d1 = sub(BE, kbe, 4 * k + 2, hc0, hc1, e0, e1, hs0, hs1,
+                         zt, zt)
+            f0, f1 = sub(BDF, kbdf, 4 * k + 3, d0, d1, e0, e1, hs0, hs1,
+                         et_prev, ht_prev)
+            etails[k][:] = e1[:, -1:]
+            htails[k][:] = hs1[:, -1:]
+            if k == K - 1:
+                op0r[0], op1r[0] = e0, e1
+            e0, e1 = f0, f1
+
+        o0r[0], o1r[0] = e0, e1
+        oh0r[0], oh1r[0] = hs0, hs1
+
+    return kernel
+
+
+def _make_bwd_kernel_bdf2_k(*, Bh: int, blk: int, nb: int,
+                            reflective: bool, s_be: float, s_cn: float,
+                            s_bdf: float, symmetric_half: bool,
+                            npass: dict, K: int):
+    """The transposed K-fused BDF2 launch: same reversed (2, nb) grid as
+    _make_bwd_kernel, processing the K steps newest-to-oldest per visit.
+    Step k's output cotangent is step k+1's input cotangent (computed
+    in-VMEM the same visit); the external cotangents enter at step K-1
+    (ends/half) and — because the fused step RETURNS prev = the last
+    step's input — at step K-1's input (cop). Per-(step, phase) adjoint
+    carries and per-step edge-cotangent scratches mirror the forward's
+    scratch layout."""
+    assert K >= 2
+    s_of = (s_be, s_cn, s_be, s_bdf)
+
+    def kernel(cbe_ref, ccn_ref, cbdf_ref, perm_ref, m_ref, mrev_ref,
+               e0r, e1r, ri0_ref, ri1_ref,
+               co0r, co1r, coh0r, coh1r, cop0r, cop1r,
+               rc_ref, ret_ref, rht_ref,
+               ce0r, ce1r, cbc_ref, gbe_ref, gcn_ref, gbdf_ref,
+               *scratch):
+        nph = 4 * K
+        assert len(scratch) == nph + 2 * K + 3
+        lam = scratch[:nph]
+        cets = scratch[nph:nph + K]
+        chts = scratch[nph + K:nph + 2 * K]
+        gacc = scratch[nph + 2 * K:]
+        g0 = pl.program_id(0)
+        g1 = pl.program_id(1)
+        h = 1 - g0
+        kbe = ps._unpack_coef(cbe_ref)
+        kcn = ps._unpack_coef(ccn_ref)
+        kbdf = ps._unpack_coef(cbdf_ref)
+
+        @pl.when(g1 == 0)
+        def _():
+            if reflective:
+                for s in range(nph):
+                    @pl.when(g0 == 1)
+                    def _(s=s):
+                        lam[s][:] = s_of[s % 4] * jnp.dot(
+                            perm_ref[:], lam[s][:],
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
+
+                    @pl.when(g0 == 0)
+                    def _(s=s):
+                        lam[s][:] = jnp.zeros_like(lam[s])
+            else:
+                for s in range(nph):
+                    lam[s][:] = jnp.zeros_like(lam[s])
+            for k in range(K):
+                cets[k][:] = jnp.zeros_like(cets[k])
+                chts[k][:] = jnp.zeros_like(chts[k])
+            for g in gacc:
+                g[:] = jnp.zeros_like(g)
+
+        col = lax.broadcasted_iota(jnp.int32, (Bh, blk), 1)
+        i = nb - 1 - g1
+        lane_nb = lax.broadcasted_iota(jnp.int32, (Bh, ret_ref.shape[-1]),
+                                       1)
+
+        def rec_read(ref, idx):
+            return jnp.sum(jnp.where(lane_nb == i, ref[idx], 0.0),
+                           axis=1, keepdims=True)
+
+        et_rec = [rec_read(ret_ref, (0, k)) for k in range(K)]
+        ht_rec = [rec_read(rht_ref, (0, k)) for k in range(K)]
+        rc = [rec_read(rc_ref, (0, s)) for s in range(nph)]
+        zt = jnp.zeros_like(et_rec[0])
+        is_neg = h == 0
+        last = col == blk - 1
+
+        lam0c, lam1c = co0r[0], co1r[0]     # ends cotangent (step K-1)
+        for k in reversed(range(K)):
+            e0 = e0r[0] if k == 0 else ri0_ref[k - 1, 0]
+            e1 = e1r[0] if k == 0 else ri1_ref[k - 1, 0]
+
+            # --- forward recompute of step k (records give carries) ----
+            b0, b1, prB = _substep_vals(BE, kbe, col, blk, m_ref,
+                                        e0, e1, e0, e1, e0, e1,
+                                        rc[4 * k], zt, zt, npass[BE])
+            hc0, hc1, prC = _substep_vals(CN, kcn, col, blk, m_ref,
+                                          b0, b1, e0, e1, e0, e1,
+                                          rc[4 * k + 1], et_rec[k], zt,
+                                          npass[CN])
+            if symmetric_half:
+                hs0, hs1 = hc0, hc1
+            else:
+                hs0 = jnp.where(is_neg, hc0, b0)
+                hs1 = jnp.where(is_neg, hc1, b1)
+            d0, d1, prD = _substep_vals(BE, kbe, col, blk, m_ref,
+                                        hc0, hc1, e0, e1, hs0, hs1,
+                                        rc[4 * k + 2], zt, zt, npass[BE])
+            _, _, prF = _substep_vals(BDF, kbdf, col, blk, m_ref,
+                                      d0, d1, e0, e1, hs0, hs1,
+                                      rc[4 * k + 3], et_rec[k], ht_rec[k],
+                                      npass[BDF])
+
+            # --- adjoint of step k, reverse phase order ----------------
+            f0c, f1c = lam0c, lam1c
+            if k == K - 1:
+                hs0c = coh0r[0]
+                hs1c = coh1r[0]
+            else:
+                hs0c = jnp.zeros_like(f0c)
+                hs1c = jnp.zeros_like(f1c)
+            hs1c = hs1c + jnp.where(last, chts[k][:], 0.0)
+            et_in = cets[k][:]
+            A3 = _substep_adj(BDF, kbdf, col, blk, mrev_ref, prF,
+                              d0, d1, e0, e1, hs0, hs1,
+                              f0c, f1c, lam[4 * k + 3][:], npass[BDF])
+            lam[4 * k + 3][:] = A3.c_in
+            A2 = _substep_adj(BE, kbe, col, blk, mrev_ref, prD,
+                              hc0, hc1, e0, e1, hs0, hs1,
+                              A3.e0, A3.e1, lam[4 * k + 2][:], npass[BE])
+            lam[4 * k + 2][:] = A2.c_in
+            hs0c = hs0c + A3.h0
+            hs1c = hs1c + A3.h1
+            if symmetric_half:
+                hc0c = A2.e0 + hs0c
+                hc1c = A2.e1 + hs1c
+                b0c = jnp.zeros_like(hs0c)
+                b1c = jnp.zeros_like(hs1c)
+            else:
+                hc0c = A2.e0 + jnp.where(is_neg, hs0c, 0.0)
+                hc1c = A2.e1 + jnp.where(is_neg, hs1c, 0.0)
+                b0c = jnp.where(is_neg, 0.0, hs0c)
+                b1c = jnp.where(is_neg, 0.0, hs1c)
+            A1 = _substep_adj(CN, kcn, col, blk, mrev_ref, prC,
+                              b0, b1, e0, e1, e0, e1,
+                              hc0c, hc1c, lam[4 * k + 1][:], npass[CN])
+            lam[4 * k + 1][:] = A1.c_in
+            A0 = _substep_adj(BE, kbe, col, blk, mrev_ref, prB,
+                              e0, e1, e0, e1, e0, e1,
+                              b0c + A1.e0, b1c + A1.e1, lam[4 * k][:],
+                              npass[BE])
+            lam[4 * k][:] = A0.c_in
+            e0c = A0.e0 + A3.p0
+            e1c = A0.e1 + A3.p1 + A1.p1
+            e1c = e1c + jnp.where(last, et_in, 0.0)
+            cets[k][:] = A1.ptail + A3.ptail
+            chts[k][:] = A3.htail
+            gacc[0][:] = gacc[0][:] + A0.coef + A2.coef
+            gacc[1][:] = gacc[1][:] + A1.coef
+            gacc[2][:] = gacc[2][:] + A3.coef
+
+            # Step k's input cotangent feeds step k-1's output; the
+            # fused step's prev output IS step K-1's input.
+            lam0c, lam1c = e0c, e1c
+            if k == K - 1:
+                lam0c = lam0c + cop0r[0]
+                lam1c = lam1c + cop1r[0]
+
+        ce0r[0], ce1r[0] = lam0c, lam1c
+
+        @pl.when(g1 == nb - 1)
+        def _():
+            acc = jnp.zeros_like(lam[0][:])
+            for s in range(4 * K):
+                acc = acc + s_of[s % 4] * lam[s][:]
+            if reflective:
+                cbc_ref[0] = jnp.where(g0 == 1, acc, jnp.zeros_like(acc))
+            else:
+                cbc_ref[0] = acc
+            gbe_ref[0] = gacc[0][:]
+            gcn_ref[0] = gacc[1][:]
+            gbdf_ref[0] = gacc[2][:]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp step + differentiable solve
 # ---------------------------------------------------------------------------
 
@@ -725,29 +1017,205 @@ class DiffPallasStep:
         self.step = step
 
 
+class DiffPallasStepK:
+    """K fused differentiable BDF2 timesteps (custom_vjp; VERDICT r4 #3):
+
+        step(e0, e1, cbe, ccn, cbdf, bc) -> (o0, o1, h0, h1, p0, p1)
+
+    with prev = the LAST step's input (the production multi_step
+    contract, ps._make_bdf2_kernel) returned as an output because
+    intermediate ends never leave the launch. Forward/backward are
+    _make_fwd_record_kernel_bdf2_k / _make_bwd_kernel_bdf2_k."""
+
+    def __init__(self, eng: ps.PallasEngine, K: int):
+        cfg = eng.cfg
+        assert cfg.ts_method == 3 and K >= 2
+        self.eng = eng
+        self.cfg = cfg
+        self.K = K
+        Bh, blk, nb = eng.Bh, eng.block, eng.nblocks
+        self.nb = nb
+        kcs = eng._fe.kcs
+        s_be, s_cn, s_bdf = (float(kcs[BE].s), float(kcs[CN].s),
+                             float(kcs[BDF].s))
+        npass = dict(eng.scan_npass)
+        self._mask_count = eng._mask_count
+        self.scan_masks = eng.scan_masks
+        self.rev_masks = _rev_scan_masks(blk)[:self._mask_count]
+        self.refl_P = eng.refl_P if eng.reflective else np.zeros(
+            (Bh, Bh), np.float32)
+
+        N = cfg.N
+        nph = 4 * K
+        plane = jax.ShapeDtypeStruct((2, Bh, N), jnp.float32)
+        ri_shape = jax.ShapeDtypeStruct((K - 1, 2, Bh, N), jnp.float32)
+
+        fwd_plane = pl.BlockSpec((1, Bh, blk), lambda h, i: (h, h * 0, i),
+                                 memory_space=pltpu.VMEM)
+        coef = pl.BlockSpec((1, Bh, ps._NCOEF),
+                            lambda h, i: (h, h * 0, h * 0),
+                            memory_space=pltpu.VMEM)
+        bcs = pl.BlockSpec((1, Bh, 1), lambda h, i: (h, h * 0, h * 0),
+                           memory_space=pltpu.VMEM)
+        perm = pl.BlockSpec((Bh, Bh), lambda h, i: (h * 0, h * 0),
+                            memory_space=pltpu.VMEM)
+        mask = pl.BlockSpec((self._mask_count, 1, blk),
+                            lambda h, i: (h * 0, h * 0, h * 0),
+                            memory_space=pltpu.VMEM)
+        rc = pl.BlockSpec((1, nph, Bh, nb),
+                          lambda h, i: (h, h * 0, h * 0, h * 0),
+                          memory_space=pltpu.VMEM)
+        rt = pl.BlockSpec((1, K, Bh, nb),
+                          lambda h, i: (h, h * 0, h * 0, h * 0),
+                          memory_space=pltpu.VMEM)
+        ri = pl.BlockSpec((K - 1, 1, Bh, blk),
+                          lambda h, i: (h * 0, h, h * 0, i),
+                          memory_space=pltpu.VMEM)
+
+        fwd_kernel = _make_fwd_record_kernel_bdf2_k(
+            Bh=Bh, blk=blk, reflective=eng.reflective,
+            s_be=s_be, s_cn=s_cn, s_bdf=s_bdf,
+            symmetric_half=cfg.bdf2_symmetric_half, npass=npass, K=K)
+        self._fwd_call = pl.pallas_call(
+            fwd_kernel,
+            grid=(2, nb),
+            in_specs=[coef] * 3 + [bcs, perm, mask, fwd_plane, fwd_plane],
+            out_specs=(fwd_plane,) * 6 + (rc, rt, rt, ri, ri),
+            out_shape=(plane,) * 6 + (
+                jax.ShapeDtypeStruct((2, nph, Bh, nb), jnp.float32),
+                jax.ShapeDtypeStruct((2, K, Bh, nb), jnp.float32),
+                jax.ShapeDtypeStruct((2, K, Bh, nb), jnp.float32),
+                ri_shape, ri_shape,
+            ),
+            scratch_shapes=[pltpu.VMEM((Bh, 1), jnp.float32)]
+            * (nph + 2 * K),
+            interpret=eng.interpret,
+            compiler_params=ps._params(eng.interpret),
+        )
+
+        r_plane = pl.BlockSpec((1, Bh, blk),
+                               lambda g0, g1: (1 - g0, g0 * 0, nb - 1 - g1),
+                               memory_space=pltpu.VMEM)
+        r_coef = pl.BlockSpec((1, Bh, ps._NCOEF),
+                              lambda g0, g1: (1 - g0, g0 * 0, g0 * 0),
+                              memory_space=pltpu.VMEM)
+        r_bc = pl.BlockSpec((1, Bh, 1),
+                            lambda g0, g1: (1 - g0, g0 * 0, g0 * 0),
+                            memory_space=pltpu.VMEM)
+        r_perm = pl.BlockSpec((Bh, Bh), lambda g0, g1: (g0 * 0, g0 * 0),
+                              memory_space=pltpu.VMEM)
+        r_mask = pl.BlockSpec((self._mask_count, 1, blk),
+                              lambda g0, g1: (g0 * 0, g0 * 0, g0 * 0),
+                              memory_space=pltpu.VMEM)
+        r_rc = pl.BlockSpec((1, nph, Bh, nb),
+                            lambda g0, g1: (1 - g0, g0 * 0, g0 * 0, g0 * 0),
+                            memory_space=pltpu.VMEM)
+        r_rt = pl.BlockSpec((1, K, Bh, nb),
+                            lambda g0, g1: (1 - g0, g0 * 0, g0 * 0, g0 * 0),
+                            memory_space=pltpu.VMEM)
+        r_ri = pl.BlockSpec((K - 1, 1, Bh, blk),
+                            lambda g0, g1: (g0 * 0, 1 - g0, g0 * 0,
+                                            nb - 1 - g1),
+                            memory_space=pltpu.VMEM)
+        r_gc = pl.BlockSpec((1, Bh, ps._NCOEF),
+                            lambda g0, g1: (1 - g0, g0 * 0, g0 * 0),
+                            memory_space=pltpu.VMEM)
+
+        bwd_kernel = _make_bwd_kernel_bdf2_k(
+            Bh=Bh, blk=blk, nb=nb, reflective=eng.reflective,
+            s_be=s_be, s_cn=s_cn, s_bdf=s_bdf,
+            symmetric_half=cfg.bdf2_symmetric_half, npass=npass, K=K)
+        self._bwd_call = pl.pallas_call(
+            bwd_kernel,
+            grid=(2, nb),
+            in_specs=[r_coef] * 3 + [r_perm, r_mask, r_mask]
+            + [r_plane] * 2 + [r_ri] * 2 + [r_plane] * 6
+            + [r_rc, r_rt, r_rt],
+            out_specs=(r_plane, r_plane, r_bc, r_gc, r_gc, r_gc),
+            out_shape=(plane, plane,
+                       jax.ShapeDtypeStruct((2, Bh, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((2, Bh, ps._NCOEF),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((2, Bh, ps._NCOEF),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((2, Bh, ps._NCOEF),
+                                            jnp.float32)),
+            scratch_shapes=[pltpu.VMEM((Bh, 1), jnp.float32)]
+            * (nph + 2 * K)
+            + [pltpu.VMEM((Bh, ps._NCOEF), jnp.float32)] * 3,
+            interpret=eng.interpret,
+            compiler_params=ps._params(eng.interpret),
+        )
+
+        @jax.custom_vjp
+        def step(e0, e1, cbe, ccn, cbdf, bc):
+            outs = self._fwd_call(cbe, ccn, cbdf, bc, self.refl_P,
+                                  self.scan_masks, e0, e1)
+            return outs[:6]          # (o0, o1, h0, h1, p0, p1)
+
+        def step_fwd(e0, e1, cbe, ccn, cbdf, bc):
+            outs = self._fwd_call(cbe, ccn, cbdf, bc, self.refl_P,
+                                  self.scan_masks, e0, e1)
+            res = (e0, e1, cbe, ccn, cbdf) + outs[6:]
+            return outs[:6], res
+
+        def step_bwd(res, cots):
+            e0, e1, cbe, ccn, cbdf, rc_, ret_, rht_, ri0, ri1 = res
+            o0c, o1c, h0c, h1c, p0c, p1c = [
+                jnp.asarray(c, jnp.float32) for c in cots]
+            (ce0, ce1, cbc, gbe, gcn, gbdf) = self._bwd_call(
+                cbe, ccn, cbdf, self.refl_P, self.scan_masks,
+                self.rev_masks, e0, e1, ri0, ri1,
+                o0c, o1c, h0c, h1c, p0c, p1c, rc_, ret_, rht_)
+            return ce0, ce1, gbe, gcn, gbdf, cbc
+
+        step.defvjp(step_fwd, step_bwd)
+        self.step = step
+
+
 def make_diff_solve_pallas(cfg: Config, tables, num_steps=None,
-                           remat_group: Optional[int] = None):
+                           remat_group: Optional[int] = None,
+                           steps_per_launch: Optional[int] = None):
     """Differentiable solve at Pallas-kernel rate.
 
     Same contract as adjoint.make_diff_solve_fast (``solve_fn(params,
     state) -> State`` in global (M, G, N, 2) layout), with the forward
-    AND backward passes running the fused f32 kernels (DiffPallasStep).
-    Gradients are the exact discrete adjoint of the f32 kernel program;
-    vs the f64 general adjoint they carry f32-grade fidelity (~1e-5
-    relative — the same trade the forward perf engines make).
+    AND backward passes running the fused f32 kernels (DiffPallasStep /
+    DiffPallasStepK). Gradients are the exact discrete adjoint of the
+    f32 kernel program; vs the f64 general adjoint they carry f32-grade
+    fidelity (~1e-5 relative — the same trade the forward perf engines
+    make).
+
+    ``steps_per_launch`` (BDF2 only): K timesteps fused per launch with
+    per-step in-launch records — the differentiable twin of the
+    production engine's K-fusion (VERDICT r4 #3). Default None picks
+    the engine's production K (ps.PallasEngine.max_steps_per_launch);
+    pass 1 to pin the single-step kernels.
 
     Memory: by default the step scan stores the input planes + tiny
     per-block records for EVERY step (reverse-mode residuals) — ~2 f32
-    planes/step. For long horizons pass ``remat_group=g`` (or leave
-    None with num_steps > 256, which auto-picks g ~ sqrt(n)): steps run
-    in jax.checkpoint'd groups of g, storing only the group-boundary
-    states plus one group's residuals at a time (sqrt-schedule memory,
-    one extra forward recompute per group in the backward pass)."""
+    planes/step (the K-fused path stores the same total: 2/K launch
+    inputs + 2(K-1)/K in-launch records). For long horizons pass
+    ``remat_group=g`` (or leave None with num_steps > 256, which
+    auto-picks g ~ sqrt(n_launches)): launches run in jax.checkpoint'd
+    groups of g, storing only the group-boundary states plus one
+    group's residuals at a time (sqrt-schedule memory, one extra
+    forward recompute per group in the backward pass)."""
     from .. import adjoint as adj
 
     n = cfg.max_timesteps if num_steps is None else num_steps
     eng = ps.PallasEngine(cfg, tables)
     dstep = DiffPallasStep(eng)
+    if steps_per_launch is None:
+        Kd = (min(eng.max_steps_per_launch(), max(n, 1))
+              if cfg.ts_method == 3 else 1)
+    else:
+        Kd = max(1, steps_per_launch)
+    if cfg.ts_method != 3:
+        Kd = 1
+    dstep_k = DiffPallasStepK(eng, Kd) if Kd >= 2 and n >= Kd else None
+    if dstep_k is None:
+        Kd = 1
     Mh, G = cfg.M // 2, cfg.G
     if cfg.ts_method == 1:
         kinds = {BE: cfg.dt}
@@ -801,21 +1269,30 @@ def make_diff_solve_pallas(cfg: Config, tables, num_steps=None,
                 ns = fs.FlatState(o0, o1, s.e0, s.e1, s.h0, s.h1)
             return ns, None
 
+        def body_k(s, _):
+            o0, o1, h0, h1, p0, p1 = dstep_k.step(
+                s.e0, s.e1, cbe, ccn, cbdf, bc)
+            return fs.FlatState(o0, o1, p0, p1, h0, h1), None
+
+        launch = body_k if Kd >= 2 else body
+        n_launch, n_tail = divmod(n, Kd)
         g = remat_group
         if g is None and n > 256:
-            g = max(1, int(np.sqrt(n)))
-        if g and g > 1 and n > g:
+            g = max(1, int(np.sqrt(n_launch)))
+        if g and g > 1 and n_launch > g:
             def group(s, _):
-                s, _ = lax.scan(body, s, None, length=g)
+                s, _ = lax.scan(launch, s, None, length=g)
                 return s, None
 
-            ngroups, tail = divmod(n, g)
+            ngroups, gtail = divmod(n_launch, g)
             st, _ = lax.scan(jax.checkpoint(group), st, None,
                              length=ngroups)
-            if tail:
-                st, _ = lax.scan(body, st, None, length=tail)
+            if gtail:
+                st, _ = lax.scan(launch, st, None, length=gtail)
         else:
-            st, _ = lax.scan(body, st, None, length=n)
+            st, _ = lax.scan(launch, st, None, length=n_launch)
+        if n_tail:
+            st, _ = lax.scan(body, st, None, length=n_tail)
 
         def pair(x0, x1):
             return fe.ends_pair(fe.tile(jnp.asarray(x0, jnp.float64)),
