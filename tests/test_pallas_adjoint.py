@@ -269,3 +269,26 @@ def test_kfused_remat_group():
     g_remat = gradof(remat_group=2)        # 2 groups of 2 launches + tail
     np.testing.assert_allclose(np.asarray(g_remat["kappa"]),
                                np.asarray(g_plain["kappa"]), rtol=1e-4)
+
+
+def test_inverse_problem_argmin_equivalence():
+    """VERDICT r4 #5 close-out: f32-grade kernel gradients converge the
+    inverse-opacity fit to the SAME optimum as the f64 exact adjoint
+    (committed full-size study: benchmarks/results/grad_convergence.json
+    — argmin distance 3.7e-5, f32 loss floor ~300x below the
+    reference's 1e-6 validation tolerance). This pins a reduced version
+    in CI."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "benchmarks"))
+    from grad_convergence import run_study
+
+    out = run_study(G=4, N=64, steps=4, iters=300, lr=0.08)
+    # The f64 route must essentially solve its own synthetic problem...
+    assert out["general"]["err_vs_true"] < 1e-4
+    # ...and the f32 kernel route must land on the same spectrum to
+    # well under any physically meaningful tolerance.
+    assert out["argmin_distance"] < 2e-3
+    assert out["pallas"]["loss_last"] < 1e-9
