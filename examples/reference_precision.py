@@ -82,6 +82,23 @@ def main():
     print(f"double-float   : {td * 1e3:7.1f} ms   drift {drift_d:.2e}"
           f"   ({t64 / td:.1f}x the f64 engine)")
 
+    # 3b. Reference precision AT SCALE (round 5): the double-float HALO
+    # mesh engine shards the same f64-grade solve over every available
+    # device — shard-owned cells are bit-exact vs the single-chip df
+    # kernel (parallel/df_halo.py).
+    from radiative_transfer_tpu.parallel.df_halo import DFHaloEngine, Mesh
+
+    devs = [d for d in jax.devices() if cfg.N % len(jax.devices()) == 0] \
+        or jax.devices()[:1]
+    mesh = Mesh(np.asarray(devs), ("x",))
+    try:
+        he, sth, th = timed(lambda: DFHaloEngine(cfg, tables, mesh), run64)
+        drift_h = np.abs(np.asarray(he.ends(sth)) - ref).max() / scale
+        print(f"df halo mesh-{len(devs)}: {th * 1e3:7.1f} ms   "
+              f"drift {drift_h:.2e}   (f64-grade across the mesh)")
+    except ValueError as e:
+        print(f"df halo: infeasible at this shape ({e})")
+
     # 4. Kernel-rate gradients: recover a perturbed opacity. The target
     # comes from a plain (non-differentiable) solve at the perturbed
     # kappa — cheap to compile, same physics.
