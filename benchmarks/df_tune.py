@@ -42,7 +42,9 @@ def bench_df(cfg, block, K):
                              lambda _, x: eng.multi_step(x, K), s)
 
     best, _ = time_best(run, eng.init_state())
-    return 4 * cfg.M * cfg.G * cfg.N * steps / best, eng.block
+    # Return the EFFECTIVE (block, K) so the emitted frontier rows can
+    # never mislabel a silently-reduced point.
+    return 4 * cfg.M * cfg.G * cfg.N * steps / best, eng.block, K
 
 
 # (name, cfg, candidate blocks) — steps sized to ~1s+ runs at df rates.
@@ -69,14 +71,14 @@ def main():
                 if Bh * block > (1 << 18):
                     continue  # far past any plausible VMEM frontier
                 try:
-                    ups, blk_eff = bench_df(cfg, block, K)
+                    ups, blk_eff, k_eff = bench_df(cfg, block, K)
                 except Exception as e:  # noqa: BLE001 - Mosaic refusals
                     print(json.dumps({"case": name, "block": block,
                                       "K": K, "error": str(e)[:200]}),
                           flush=True)
                     continue
-                rec = {"case": name, "Bh": Bh, "block": blk_eff, "K": K,
-                       "updates_per_s": ups}
+                rec = {"case": name, "Bh": Bh, "block": blk_eff,
+                       "K": k_eff, "updates_per_s": ups}
                 rows.append(rec)
                 print(json.dumps(rec), flush=True)
     if out_path:

@@ -88,8 +88,8 @@ def main():
     # kernel (parallel/df_halo.py).
     from radiative_transfer_tpu.parallel.df_halo import DFHaloEngine, Mesh
 
-    devs = [d for d in jax.devices() if cfg.N % len(jax.devices()) == 0] \
-        or jax.devices()[:1]
+    devs = (jax.devices() if cfg.N % len(jax.devices()) == 0
+            else jax.devices()[:1])
     mesh = Mesh(np.asarray(devs), ("x",))
     try:
         he, sth, th = timed(lambda: DFHaloEngine(cfg, tables, mesh), run64)

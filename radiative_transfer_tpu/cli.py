@@ -515,31 +515,21 @@ def _run(args, cfg, dtype):
         elif args.engine == "df":
             from .ops.df_sweep import DFPallasEngine
 
-            eng = None
-            if auto_df and (cfg.M // 2) * cfg.G < 8:
-                # Tiny batches (Bh < 8) waste sublanes on the plain df
-                # kernel's (1, Bh, blk) blocks; the packed-rows df halo
-                # kernel at a 1-device mesh runs both halves per visit
-                # (measured 10.35 vs 6.2 G at Bh=4, gray_s8 row of
-                # benchmarks/results/suite_tpu_r5.json — the df
-                # analogue of the f32 packed selection,
-                # parallel.make_multichip_engine). Auto only: an
-                # explicit --engine df pin is respected.
-                import numpy as _np
+            if auto_df:
+                # Shared f64-grade selection (tiny batches ride the
+                # packed-rows df halo at a 1-device mesh, measured
+                # 1.67x at Bh=4 — parallel.make_multichip_engine
+                # engine='df'); an explicit --engine df pin keeps the
+                # plain kernel.
+                from . import parallel
 
-                import jax as _jax
-
-                from .parallel.df_halo import DFHaloEngine, Mesh
-
-                try:
-                    m1 = Mesh(_np.asarray(_jax.devices()[:1]), ("x",))
-                    eng = DFHaloEngine(cfg, tables, m1,
-                                       scan_tol=args.scan_tol)
+                eng = parallel.make_multichip_engine(
+                    cfg, tables, None, engine="df",
+                    scan_tol=args.scan_tol)
+                if type(eng).__name__ != "DFPallasEngine":
                     print("auto engine: packed-rows df halo at 1-device "
                           "mesh (tiny batch)")
-                except ValueError:
-                    eng = None  # infeasible: plain df kernel
-            if eng is None:
+            else:
                 eng = DFPallasEngine(cfg, tables, scan_tol=args.scan_tol)
         else:
             from .ops.fast_sweep import FastEngine
@@ -692,10 +682,22 @@ def _run_sharded(args, cfg, dtype):
                     cfg, tables, mesh, scan_tol=args.scan_tol)
             print(f"auto engine: {type(eng).__name__}")
         elif args.engine == "df":
+            import jax.numpy as jnp
+
             from .parallel.df_halo import DFHaloEngine
 
+            tables_df = tables
+            if args.dtype != "float64":
+                # The df engine's coefficient packs split f64 table
+                # values into (hi, lo) pairs; f32-built tables would
+                # silently cap the result at f32 grade. Rebuild at f64
+                # (what the single-chip df path always does).
+                print("note: --engine df is f64-grade; building its "
+                      "tables at float64 despite --dtype float32")
+                tables_df, _, _ = transport.build_tables(
+                    cfg, dtype=jnp.float64)
             try:
-                eng = DFHaloEngine(cfg, tables, mesh,
+                eng = DFHaloEngine(cfg, tables_df, mesh,
                                    scan_tol=args.scan_tol)
             except ValueError as e:
                 raise SystemExit(

@@ -299,19 +299,14 @@ def solve_ensemble_stacked(
         from .ops.fast_sweep import FastEngine
 
         eng = FastEngine(cfg_s, tables_s, **engine_kw)
-    elif mesh is None and engine == "df":
-        # f64-grade stacked ensembles at kernel rate (ops/df_sweep.py).
-        from .ops.df_sweep import DFPallasEngine
-
-        eng = DFPallasEngine(cfg_s, tables_s, **engine_kw)
     else:
+        # engine='df' routes through the shared f64-grade selection:
+        # the df halo engine on a mesh (ValueError with f64-XLA
+        # guidance when the creep bound refuses), the plain df kernel
+        # (or the packed-rows df halo at tiny stacked batches) on one
+        # device.
         from .parallel import make_multichip_engine
 
-        if engine == "df":
-            # f64-grade mesh ensembles ride the double-float halo
-            # engine (parallel/df_halo.py; ValueError with f64-XLA
-            # guidance when the creep bound refuses the workload).
-            engine = "df_halo"
         eng = make_multichip_engine(cfg_s, tables_s, mesh, engine=engine,
                                     **engine_kw)
     if state is None:

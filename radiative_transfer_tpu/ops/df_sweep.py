@@ -792,11 +792,9 @@ def whole_n_feasible(cfg: Config) -> bool:
     planes exceed scoped VMEM (odd / awkward N with no 128-multiple
     power-of-two divisor). Auto selection (cli --engine auto --dtype
     float64) routes such shapes to the padded XLA fast engine instead
-    of handing Mosaic an infeasible kernel."""
-    try:
-        blk = select_block(cfg, None, interpret=False)
-    except ValueError:
-        return False
+    of handing Mosaic an infeasible kernel. (select_block's divisor
+    walk always terminates at blk >= 1, so no exception to catch.)"""
+    blk = select_block(cfg, None, interpret=False)
     Bh = (cfg.M // 2) * cfg.G
     return not (blk == cfg.N and Bh * cfg.N > (1 << 18))
 

@@ -1207,7 +1207,13 @@ def make_diff_solve_pallas(cfg: Config, tables, num_steps=None,
     eng = ps.PallasEngine(cfg, tables)
     dstep = DiffPallasStep(eng)
     if steps_per_launch is None:
-        Kd = (min(eng.max_steps_per_launch(), max(n, 1))
+        # Cap the default at the production headline K=4: deeper fusion
+        # is measured-saturated for the forward (PERFORMANCE.md "deeper
+        # K fusion"), the K-fused backward's per-visit body grows
+        # linearly in K (VMEM/compile pressure), and the XLA CPU
+        # compiler has been observed to crash on the interpret-mode
+        # K=7 linearized program under suite-level memory pressure.
+        Kd = (min(eng.max_steps_per_launch(), 4, max(n, 1))
               if cfg.ts_method == 3 else 1)
     else:
         Kd = max(1, steps_per_launch)

@@ -48,6 +48,35 @@ def make_multichip_engine(cfg, tables, mesh, engine: str = "auto",
     n_dev = 1 if mesh is None else mesh.size
     if engine == "fast":
         return sharded_fast.ShardedFastEngine(cfg, tables, mesh, **kw)
+    if engine == "df":
+        # f64-grade selection (shared by cli auto-f64 and the stacked
+        # ensembles): the df halo engine on a real mesh; on one device
+        # the plain df kernel — EXCEPT at tiny batches (Bh < 8), where
+        # the packed-rows df halo at a 1-device mesh runs both
+        # direction halves per visit and measures 1.67x faster
+        # (10.35 vs 6.2 G at Bh=4: suite_tpu_r5_dfhalo_mesh1.json vs
+        # the suite_tpu_r4.json gray_s8 df row) — the df analogue of
+        # the f32 packed selection below.
+        from ..ops import df_sweep
+        from . import df_halo
+
+        if n_dev > 1:
+            dkw = _filter_kwargs(df_halo.DFHaloEngine.__init__, kw)
+            return df_halo.DFHaloEngine(cfg, tables, mesh, **dkw)
+        if (cfg.M // 2) * cfg.G < 8:
+            m1 = mesh
+            if m1 is None:
+                import jax
+                import numpy as np
+
+                m1 = df_halo.Mesh(np.asarray(jax.devices()[:1]), ("x",))
+            try:
+                hkw = _filter_kwargs(df_halo.DFHaloEngine.__init__, kw)
+                return df_halo.DFHaloEngine(cfg, tables, m1, **hkw)
+            except ValueError:
+                pass  # infeasible (creep bound / odd N): plain df kernel
+        dkw = _filter_kwargs(df_sweep.DFPallasEngine.__init__, kw)
+        return df_sweep.DFPallasEngine(cfg, tables, **dkw)
     if engine == "auto":
         if platform is None:
             import jax

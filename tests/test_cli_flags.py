@@ -248,19 +248,7 @@ def test_df_engine_checkpoint_resume(tmp_path):
         assert np.abs(a - b).max() / scale < 1e-11, name
 
 
-def test_df_engine_mesh_routes_to_df_halo(tmp_path, capsys):
-    """--engine df --mesh is no longer refused (round 5): it runs the
-    double-float halo engine (parallel/df_halo.py) when the creep bound
-    admits the workload (full equivalence in tests/test_df_halo.py)."""
-    # N large enough that N_loc covers the df halo (dx kept at the
-    # deck's physical 0.01 cm, as in tests/test_df_halo.py).
-    text = open(reference_deck("single_group.prm")).read()
-    text = deck_edit(text, "max_timesteps=1000", "max_timesteps=2")
-    text = deck_edit(text, "N=100", "N=2048")
-    text = deck_edit(text, "X=1.", "X=20.48")
-    deck = os.path.join(tmp_path, "deck.prm")
-    open(deck, "w").write(text)
-    rc = cli.main([deck, "--outdir", str(tmp_path), "--engine", "df",
-                   "--mesh", "1x2"])
-    assert rc == 0
-    assert "wrote 8 CSVs" in capsys.readouterr().out
+# --engine df --mesh routing (round 5) is covered end-to-end by
+# tests/test_df_halo.py::test_cli_df_mesh (success + the infeasible
+# SystemExit guidance); the old single-chip refusal test it replaced
+# is obsolete.
