@@ -60,3 +60,23 @@ def reference_deck(name: str) -> str:
     import pytest
 
     pytest.skip(f"reference deck {name} not available")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The suite compiles hundreds of XLA CPU programs in one process
+    (every engine variant, the interpret-mode Pallas kernels, the
+    fused-adjoint programs). With everything retained, the accumulated
+    JIT code eventually crashes the XLA CPU compiler on a later large
+    compile (observed round 5: a deterministic SIGSEGV in
+    backend_compile_and_load at ~300 tests, on a program that compiles
+    fine standalone). Dropping the caches at module boundaries caps
+    the accumulation; engines and jitted closures never outlive their
+    module, so nothing re-compiles across the boundary."""
+    yield
+    jax.clear_caches()
