@@ -61,7 +61,8 @@ def main():
                          "halo engine's creep bound rejects it)")
     ap.add_argument("--engine", default="halo-pallas",
                     choices=("halo-pallas", "sharded-pallas",
-                             "sharded-fast", "fused-exchange"))
+                             "sharded-fast", "fused-exchange",
+                             "df-halo"))
     ap.add_argument("--virtual", action="store_true",
                     help="force a virtual CPU host mesh (overhead "
                          "trends only, not TPU rates)")
@@ -143,8 +144,10 @@ def main():
             HaloPallasEngine,
         )
 
-        ctor = (FusedExchangeEngine
-                if args.engine == "fused-exchange" else HaloPallasEngine)
+        from radiative_transfer_tpu.parallel.df_halo import DFHaloEngine
+
+        ctor = {"fused-exchange": FusedExchangeEngine,
+                "df-halo": DFHaloEngine}.get(args.engine, HaloPallasEngine)
         cfg1 = dataclasses.replace(cfg_ladder, N=cfg_ladder.N // K,
                                    X=cfg_ladder.X / K)
         tb1, _, _ = transport.build_tables(cfg1, dtype=jnp.float32)
@@ -195,6 +198,14 @@ def main():
             )
 
             eng = FusedExchangeEngine(cfg, tables, mesh)
+        elif args.engine == "df-halo":
+            # f64-grade halo engine (round 5): same decomposition as
+            # halo-pallas with (hi, lo) double-float halos.
+            from radiative_transfer_tpu.parallel.df_halo import (
+                DFHaloEngine,
+            )
+
+            eng = DFHaloEngine(cfg, tables, mesh)
         else:
             from radiative_transfer_tpu.parallel.sharded_fast import (
                 ShardedFastEngine,
@@ -224,7 +235,8 @@ def main():
         want_control = (args.control == "all"
                         or (args.control == "last" and K * 2 > n_dev))
         if (not on_tpu and want_control
-                and args.engine in ("halo-pallas", "fused-exchange")):
+                and args.engine in ("halo-pallas", "fused-exchange",
+                                    "df-halo")):
             # The raw efficiency column above is dominated by HOST-CORE
             # contention on a virtual mesh (n_dev devices sharing
             # os.cpu_count() cores) — it measures the host, not the
