@@ -1025,7 +1025,13 @@ class DiffPallasStepK:
     with prev = the LAST step's input (the production multi_step
     contract, ps._make_bdf2_kernel) returned as an output because
     intermediate ends never leave the launch. Forward/backward are
-    _make_fwd_record_kernel_bdf2_k / _make_bwd_kernel_bdf2_k."""
+    _make_fwd_record_kernel_bdf2_k / _make_bwd_kernel_bdf2_k.
+
+    BDF2 only, by scope: BE/CN diff solves keep the K=1 kernels — the
+    reference's production integrator (and every headline workload) is
+    BDF2, and the BE/CN forward's fusion win is smaller (2-plane
+    states); extend symmetrically if a BE/CN gradient workload ever
+    becomes hot."""
 
     def __init__(self, eng: ps.PallasEngine, K: int):
         cfg = eng.cfg
