@@ -203,3 +203,40 @@ def test_pallas_adjoint_grads_on_chip():
         a, b = np.asarray(gf[k]), np.asarray(gp[k])
         scale = np.abs(a).max() + 1e-300
         assert np.abs(a - b).max() / scale < 2e-3, k
+
+
+def test_kfused_adjoint_on_chip():
+    """Round-5 K-fused differentiable launches through real Mosaic
+    (DiffPallasStepK): the fused forward must BIT-match the production
+    multi_step on hardware, and K-fused gradients must match the K=1
+    kernel chain (the CPU suite proves interpret-mode equivalence; this
+    catches a Mosaic-only lowering difference)."""
+    from radiative_transfer_tpu.ops import pallas_adjoint as pa
+    from radiative_transfer_tpu.ops import pallas_sweep as ps
+
+    cfg = _cfg(M=4, G=2, N=1024, steps=9, bc_left=2)
+    tables, _, _ = transport.build_tables(cfg)
+    eng = ps.PallasEngine(cfg, tables, block=256)
+    assert not eng.interpret
+    st = eng.init_state()
+    ref = eng.multi_step(st, 4)
+    dk = pa.DiffPallasStepK(eng, 4)
+    o0, o1, h0, h1, p0, p1 = dk.step(st.e0, st.e1, eng.coef[1],
+                                     eng.coef[2], eng.coef[3], eng.bc)
+    for got, want in ((o0, ref.e0), (o1, ref.e1), (h0, ref.h0),
+                      (h1, ref.h1), (p0, ref.p0), (p1, ref.p1)):
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    params = dict(
+        psi_source=jnp.asarray(np.asarray(cfg.psi_source, np.float64)))
+
+    def gradof(k):
+        solve = pa.make_diff_solve_pallas(cfg, tables, num_steps=9,
+                                          steps_per_launch=k)
+        return jax.grad(
+            lambda p: jnp.sum(solve(p, None).ends ** 2) * 1e-2)(params)
+
+    g1 = gradof(1)
+    g4 = gradof(4)                 # 2 fused launches + 1 tail step
+    a, b = np.asarray(g1["psi_source"]), np.asarray(g4["psi_source"])
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-300) < 1e-4
