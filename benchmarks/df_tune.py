@@ -6,7 +6,10 @@ measured df arithmetic cost predicts ~37%). Honest timing protocol
 (benchmarks/timing.py). Results feed ops/df_sweep.select_block /
 DFPallasEngine.max_steps_per_launch.
 
-Usage: python benchmarks/df_tune.py [out.json]
+Usage: python benchmarks/df_tune.py [out.json] [case ...]
+  case filters (e.g. gray_s8 mg128_s4) restrict the sweep; the
+  DF_TUNE_KS env var (comma list, default 1,2,4,8) restricts the
+  fusion depths — both exist so a sweep fits a hardware-time budget.
 """
 from __future__ import annotations
 
@@ -63,11 +66,16 @@ def cases():
 
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    only = set(sys.argv[2:])
+    ks = tuple(int(k) for k in
+               os.environ.get("DF_TUNE_KS", "1,2,4,8").split(","))
     rows = []
     for name, cfg, blocks in cases():
+        if only and name not in only:
+            continue
         Bh = (cfg.M // 2) * cfg.G
         for block in blocks:
-            for K in (1, 2, 4, 8):
+            for K in ks:
                 if Bh * block > (1 << 18):
                     continue  # far past any plausible VMEM frontier
                 try:
@@ -81,10 +89,9 @@ def main():
                        "K": k_eff, "updates_per_s": ups}
                 rows.append(rec)
                 print(json.dumps(rec), flush=True)
-    if out_path:
-        with open(out_path, "w") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
+                if out_path:  # append as we go: partial sweeps survive
+                    with open(out_path, "a") as f:
+                        f.write(json.dumps(rec) + "\n")
     best = {}
     for r in rows:
         if r["case"] not in best or r["updates_per_s"] > \

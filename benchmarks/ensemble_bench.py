@@ -64,13 +64,17 @@ def main():
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--K", type=int, nargs="+", default=[4, 16, 64])
     ap.add_argument("--json", type=str, default=None)
+    ap.add_argument("--engine", type=str, default="auto",
+                    help="'auto' (f32 kernels) or 'df' (double-float "
+                    "f64-grade kernels) — the df rows sit beside the "
+                    "f32 ones in ensemble_stacking.json (VERDICT r4 #2)")
     args = ap.parse_args()
 
     cfg = gray_cfg(args.M, args.G, args.N, args.steps)
     tables, _, _ = transport.build_tables(cfg)
 
     rows = []
-    eng1 = make_multichip_engine(cfg, tables, None)
+    eng1 = make_multichip_engine(cfg, tables, None, engine=args.engine)
     r1 = rate_engine(eng1, cfg, args.steps)
     print(f"single member  Bh={cfg.M // 2 * cfg.G:4d}  "
           f"{type(eng1).__name__:20s} {r1 / 1e9:8.1f} G/s")
@@ -81,7 +85,8 @@ def main():
         kappas = np.full((K, cfg.G), cfg.kappa_grey)
         cfg_s, tables_s, _ = ensemble.stack_ensemble(
             cfg, tables, {"kappa": kappas})
-        eng = make_multichip_engine(cfg_s, tables_s, None)
+        eng = make_multichip_engine(cfg_s, tables_s, None,
+                                    engine=args.engine)
         agg = rate_engine(eng, cfg_s, args.steps)
         # Serial baseline: K members back-to-back still process updates
         # at r1 overall, so the ensemble speedup is agg / r1.
@@ -93,10 +98,16 @@ def main():
                      "speedup_vs_serial": agg / r1})
 
     if args.json:
+        # df rows sit BESIDE the f32 ones in the same artifact: merge
+        # into {"cfg": ..., "rows": [f32...], "rows_df": [df...]}.
+        doc = {"cfg": {"M": args.M, "G": args.G, "N": args.N,
+                       "steps": args.steps}}
+        if os.path.exists(args.json):
+            with open(args.json) as f:
+                doc.update(json.load(f))
+        doc["rows_df" if args.engine == "df" else "rows"] = rows
         with open(args.json, "w") as f:
-            json.dump({"cfg": {"M": args.M, "G": args.G, "N": args.N,
-                               "steps": args.steps},
-                       "rows": rows}, f, indent=1)
+            json.dump(doc, f, indent=1)
         print(f"wrote {args.json}")
 
 
