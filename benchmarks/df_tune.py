@@ -57,11 +57,11 @@ def cases():
     yield ("gray_s8", _mk_cfg(8, 1, 1 << 18, 512),
            (4096, 8192, 16384, 32768, 65536))
     yield ("mg16_s8", _mk_cfg(8, 16, 1 << 16, 512, use_correction=True),
-           (256, 512, 1024, 2048, 4096))
+           (512, 1024, 2048))
     yield ("mg128_s4", _mk_cfg(4, 128, 1 << 13, 2048),
-           (128, 256, 512, 1024, 2048))
+           (512, 1024))
     yield ("llnl_124g", _llnl_cfg_at(1 << 12, 2048),
-           (128, 256, 512, 1024, 2048))
+           (512,))
 
 
 def main():

@@ -773,10 +773,17 @@ def select_block(cfg: Config, block: Optional[int] = None,
         if blk == 0:
             raise ValueError(f"N={cfg.N} has no power-of-two block")
     Bh = (cfg.M // 2) * cfg.G
-    while auto_block and Bh * blk > (1 << 16) and blk > 512:
+    # Measured (block, K) frontier per lane batch — the round-5 sweep
+    # (benchmarks/results/df_tune_r5.json): live-plane footprint target
+    # p = Bh*block of 2^14 at Bh<=4 (gray_s8: 4096/K4 = 8.3 G vs the
+    # old 16384/K2 = 6.4), 2^16 at Bh<=16 (headline: 4096/K2 = 15.4 G,
+    # the r4 frontier), 2^17 above (mg16: 2048/K4 = 12.0 vs 11.4 at
+    # 2^16; mg128: 512/K4 = 11.9 vs 10.4 at K2).
+    target = ((1 << 14) if Bh <= 4 else
+              (1 << 16) if Bh <= 16 else (1 << 17))
+    while auto_block and Bh * blk > target and blk > 512:
         blk //= 2
     if auto_block:
-        target = 1 << 16
         while (Bh * blk * 2 <= target and blk < cfg.N
                and cfg.N % (blk * 2) == 0):
             blk *= 2
@@ -968,11 +975,19 @@ class DFPallasEngine:
         p = self.Bh * self.block
         if self.cfg.ts_method in (1, 2):
             return 8 if self.Bh <= 16 else 4
+        if self.Bh <= 4:
+            return 4             # measured: gray_s8 4096/K4 8.3 G, K8
+                                 # at 2x the footprint trails (7.7 G)
         if p <= (1 << 15):
             return 8
         if p < (1 << 16):
             return 4
-        return 2                 # measured: K=2 beats 4 at p=2^16
+        if p == (1 << 16):
+            return 2             # measured: K=2 beats 4 at p=2^16
+                                 # (headline 15.4 G; mg16@1024 11.4)
+        return 4                 # measured: K=4 beats 2 at p>=2^17
+                                 # (mg16@2048 12.0, mg128@512 11.9 —
+                                 # df_tune_r5.json)
 
     def step(self, st: DFState) -> DFState:
         return self.multi_step(st, 1)
